@@ -1,0 +1,119 @@
+"""Pallas flash-attention kernel parity vs the tiled jnp oracles and stock
+jax.grad, at the reference's tolerances (fw 1e-3, bw 1e-2/1e-3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash.kernels.flash_attention import (
+    flash_attention_backward,
+    flash_attention_forward,
+)
+from tpu_flash.ops import flash_attention, flash_attention_with_residuals
+from tpu_flash.ops import reference as ref
+
+FW_TOL = dict(atol=1e-3, rtol=1e-3)
+BW_TOL = dict(atol=1e-2, rtol=1e-3)
+
+# (B, H, L, d): exercise L < block, L == block, L > block, non-multiple L
+SHAPES = [
+    (1, 2, 64, 32),
+    (2, 2, 128, 64),
+    (1, 2, 256, 64),
+    (1, 1, 200, 64),   # padding path
+]
+
+
+def make(rng, shape, dtype=jnp.float32):
+    return (jnp.asarray(rng.standard_normal(shape), dtype) for _ in range(3))
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("causal", [False, True])
+def test_forward_parity(rng, shape, causal):
+    q, k, v = make(rng, shape)
+    out, lse, m = flash_attention_forward(q, k, v, causal=causal)
+    expected = ref.naive_attention(q, k, v, causal=causal)
+    np.testing.assert_allclose(out, expected, **FW_TOL)
+
+    scale = ref.default_scale(shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if causal:
+        s = s + ref.causal_mask(shape[2], shape[2])
+    np.testing.assert_allclose(lse, jax.nn.logsumexp(s, axis=-1), **FW_TOL)
+    np.testing.assert_allclose(m, jnp.max(s, axis=-1), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+@pytest.mark.parametrize("causal", [False, True])
+def test_backward_parity(rng, shape, causal):
+    q, k, v = make(rng, shape)
+    do = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    out, lse, _ = flash_attention_forward(q, k, v, causal=causal)
+    dq, dk, dv = flash_attention_backward(q, k, v, out, lse, do, causal=causal)
+
+    def loss(q, k, v):
+        return jnp.sum(ref.naive_attention(q, k, v, causal=causal) * do)
+
+    dq_e, dk_e, dv_e = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(dq, dq_e, **BW_TOL)
+    np.testing.assert_allclose(dk, dk_e, **BW_TOL)
+    np.testing.assert_allclose(dv, dv_e, **BW_TOL)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_custom_vjp_end_to_end(rng, causal):
+    shape = (1, 2, 128, 64)
+    q, k, v = make(rng, shape)
+    do = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal, impl="pallas") * do)
+
+    def f_ref(q, k, v):
+        return jnp.sum(ref.naive_attention(q, k, v, causal=causal) * do)
+
+    out = flash_attention(q, k, v, causal=causal, impl="pallas")
+    np.testing.assert_allclose(out, ref.naive_attention(q, k, v, causal=causal), **FW_TOL)
+
+    g = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(a, b, **BW_TOL)
+
+
+def test_fa1_residuals(rng):
+    """version=1 returns (out, l, m) exactly like launch_flash_attn_fw."""
+    shape = (1, 2, 64, 32)
+    q, k, v = make(rng, shape)
+    out, l, m = flash_attention_with_residuals(q, k, v, version=1, impl="pallas")
+    out_o, l_o, m_o = ref.flash_attention1_fw_reference(q, k, v)
+    np.testing.assert_allclose(out, out_o, **FW_TOL)
+    np.testing.assert_allclose(m, m_o, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(l, l_o, atol=1e-3, rtol=1e-3)
+
+
+def test_bf16_inputs(rng):
+    shape = (1, 2, 128, 64)
+    q, k, v = (x.astype(jnp.bfloat16) for x in make(rng, shape))
+    out, _, _ = flash_attention_forward(q, k, v, causal=True)
+    assert out.dtype == jnp.bfloat16
+    expected = ref.naive_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        causal=True)
+    np.testing.assert_allclose(
+        out.astype(jnp.float32), expected, atol=2e-2, rtol=2e-2)
+
+
+def test_jit_and_grad_composable(rng):
+    shape = (1, 2, 64, 64)
+    q, k, v = make(rng, shape)
+
+    @jax.jit
+    def step(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) ** 2)
+
+    val, grads = jax.value_and_grad(step)(q, k, v)
+    assert jnp.isfinite(val)

@@ -1,0 +1,129 @@
+"""Public differentiable flash-attention op.
+
+The analog of the reference's ``Flash_Attn`` / ``Flash_Attn2`` /
+``Flash_Attn_Causal`` autodiff Functions
+(minitorch/tensor_functions.py:462-497) and the ``Tensor.flash_attn*`` entry
+points (minitorch/tensor.py:422-429) — here a single ``jax.custom_vjp`` op
+with a version switch:
+
+  * ``version=2`` (default): FA2 semantics — the forward saves the logsumexp
+    residual, exactly like launch_flash_attn_fw storing ``L = m + log l``
+    (src/flash_attn2_fw.cpp:279-294).
+  * ``version=1``: FA1 semantics — residuals are the running ``(l, m)`` pair
+    (src/flash_attn_fw.cpp:225-276).  On TPU both versions run the same
+    Pallas forward (which emits both ``lse`` and ``m``); the distinction is
+    preserved in the residuals and in which tiled oracle verifies them.
+
+The backward always recomputes ``P`` from the logsumexp (``(1/l)·exp(S-m) ==
+exp(S - (m + log l))``), giving one race-free backward for both versions.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.kernels.flash_attention import (
+    flash_attention_backward,
+    flash_attention_forward,
+)
+from tpu_flash.ops import reference as ref
+from tpu_flash.ops.registry import resolve_impl
+
+
+def _forward_impl(q, k, v, causal, impl):
+    """Returns (out, lse, m) under the chosen implementation."""
+    if impl == "pallas":
+        return flash_attention_forward(q, k, v, causal=causal)
+    if impl == "reference":
+        out, lse = ref.flash_attention2_fw_reference(q, k, v, causal=causal)
+        # m is only needed for FA1-style residual reporting.
+        _, l1, m1 = ref.flash_attention1_fw_reference(q, k, v, causal=causal)
+        del l1
+        return out, lse, m1
+    # "xla": plain composition; lse computed directly.
+    scale = ref.default_scale(q.shape[-1])
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    if causal:
+        s = s + ref.causal_mask(q.shape[-2], k.shape[-2], s.dtype)
+    lse = jax.nn.logsumexp(s, axis=-1)
+    m = jnp.max(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+    return out, lse, m
+
+
+def _backward_impl(q, k, v, o, lse, do, causal, impl):
+    if impl == "pallas":
+        return flash_attention_backward(q, k, v, o, lse, do, causal=causal)
+    return ref.flash_attention2_bw_reference(q, k, v, o, lse, do, causal=causal)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention(q, k, v, causal, impl):
+    out, _, _ = _forward_impl(q, k, v, causal, impl)
+    return out
+
+
+def _flash_attention_fwd(q, k, v, causal, impl):
+    out, lse, _ = _forward_impl(q, k, v, causal, impl)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_attention_bwd(causal, impl, residuals, do):
+    q, k, v, out, lse = residuals
+    dq, dk, dv = _backward_impl(q, k, v, out, lse, do, causal, impl)
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+def flash_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array,
+    *,
+    causal: bool = False,
+    version: int = 2,
+    impl: str | None = None,
+) -> jax.Array:
+    """Flash attention over [B, H, L, d] inputs; differentiable.
+
+    ``version`` selects the FA1/FA2 residual convention (both backed by the
+    same TPU kernels), ``impl`` overrides the registry default
+    ("pallas" | "reference" | "xla").
+    """
+    if version not in (1, 2):
+        raise ValueError(f"version must be 1 or 2, got {version}")
+    impl = resolve_impl(impl)
+    return _flash_attention(q, k, v, causal, impl)
+
+
+def flash_attention_with_residuals(
+    q, k, v, *, causal: bool = False, version: int = 2, impl: str | None = None,
+):
+    """Non-differentiable forward that also returns the saved residuals:
+    ``(out, lse)`` for version=2, ``(out, l, m)`` for version=1 — the same
+    tuples the reference's launchers emit (cuda_kernel_ops.py:577-581)."""
+    impl = resolve_impl(impl)
+    out, lse, m = _forward_impl(q, k, v, causal, impl)
+    if version == 2:
+        return out, lse
+    return out, jnp.exp(lse - m), m
+
+
+# --- reference-parity aliases (Tensor.flash_attn* , tensor.py:422-429) ------
+
+def flash_attn(q, k, v, *, impl: str | None = None):
+    """FA1, non-causal."""
+    return flash_attention(q, k, v, causal=False, version=1, impl=impl)
+
+
+def flash_attn_causal(q, k, v, *, impl: str | None = None):
+    """FA1 with causal masking + block skip."""
+    return flash_attention(q, k, v, causal=True, version=1, impl=impl)
+
+
+def flash_attn2(q, k, v, *, causal: bool = False, impl: str | None = None):
+    """FA2 (logsumexp residual)."""
+    return flash_attention(q, k, v, causal=causal, version=2, impl=impl)

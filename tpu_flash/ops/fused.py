@@ -1,0 +1,127 @@
+"""Differentiable fused masked-softmax and LayerNorm ops.
+
+Analog of the reference's ``Attn_Softmax`` and ``LayerNorm`` autodiff
+Functions (minitorch/tensor_functions.py:426-460), wired to the Pallas
+kernels through ``jax.custom_vjp``:
+
+  * ``attn_softmax`` saves the output probabilities for the backward (the
+    reference deep-copies them because its forward is in-place,
+    tensor_functions.py:426-441 — ours is functional so a plain save works);
+  * ``layer_norm`` saves ``(x, gamma, mean, var)``, mirroring the residuals
+    LayerNorm.apply stashes (tensor_functions.py:444-460).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.kernels.layernorm import layernorm_backward, layernorm_forward
+from tpu_flash.kernels.softmax import attn_softmax_backward, attn_softmax_forward
+from tpu_flash.ops import reference as ref
+from tpu_flash.ops.registry import resolve_impl
+
+
+# ---------------------------------------------------------------------------
+# attn_softmax
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _attn_softmax(x, pad_mask, mask_future, impl):
+    if impl == "pallas":
+        return attn_softmax_forward(x, pad_mask, mask_future=mask_future)
+    return ref.attn_softmax_reference(x, pad_mask, mask_future=mask_future)
+
+
+def _attn_softmax_fwd(x, pad_mask, mask_future, impl):
+    prob = _attn_softmax(x, pad_mask, mask_future, impl)
+    return prob, prob
+
+
+def _attn_softmax_bwd(mask_future, impl, prob, dprob):
+    if impl == "pallas":
+        dx = attn_softmax_backward(prob, dprob)
+    else:
+        dx = ref.attn_softmax_bw_reference(prob, dprob)
+    # The additive pad mask receives no gradient (it is a constant mask, as in
+    # the reference where Attn_Softmax.backward returns zeros for it).
+    return dx, None
+
+
+_attn_softmax.defvjp(_attn_softmax_fwd, _attn_softmax_bwd)
+
+
+def attn_softmax(
+    x: jax.Array,
+    pad_mask: jax.Array | None = None,
+    *,
+    mask_future: bool = False,
+    impl: str | None = None,
+) -> jax.Array:
+    """Fused masked softmax over [B, H, Lq, Lk] scores; differentiable.
+
+    ``pad_mask`` is an additive [B, Lk] padding mask; ``mask_future`` applies
+    the causal mask — the semantics of launch_attn_softmax
+    (src/softmax_kernel.cu:52-88)."""
+    impl = resolve_impl(impl)
+    if impl == "xla":
+        return ref.attn_softmax_reference(x, pad_mask, mask_future=mask_future)
+    return _attn_softmax(x, pad_mask, mask_future, impl)
+
+
+# ---------------------------------------------------------------------------
+# layer_norm
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm(x, gamma, beta, impl):
+    if impl == "pallas":
+        y, _, _ = layernorm_forward(x, gamma, beta)
+    else:
+        y, _, _ = ref.layernorm_fw_reference(x, gamma, beta)
+    return y
+
+
+def _layer_norm_fwd(x, gamma, beta, impl):
+    if impl == "pallas":
+        y, mean, var = layernorm_forward(x, gamma, beta)
+    else:
+        y, mean, var = ref.layernorm_fw_reference(x, gamma, beta)
+    return y, (x, gamma, mean, var)
+
+
+def _layer_norm_bwd(impl, residuals, dy):
+    x, gamma, mean, var = residuals
+    if impl == "pallas":
+        dx, dgamma, dbeta = layernorm_backward(dy, x, gamma, mean, var)
+    else:
+        dx, dgamma, dbeta = ref.layernorm_bw_reference(dy, x, gamma, mean, var)
+    return dx, dgamma, dbeta
+
+
+_layer_norm.defvjp(_layer_norm_fwd, _layer_norm_bwd)
+
+
+def layer_norm(
+    x: jax.Array, gamma: jax.Array, beta: jax.Array,
+    *, impl: str | None = None,
+) -> jax.Array:
+    """Fused row LayerNorm over the last axis (eps = 1e-8); differentiable.
+
+    The user-facing analog of ``Tensor.layernorm`` (tensor.py:434-435)."""
+    impl = resolve_impl(impl)
+    if impl == "xla":
+        y, _, _ = ref.layernorm_fw_reference(x, gamma, beta)
+        return y
+    return _layer_norm(x, gamma, beta, impl)
+
+
+def layer_norm_with_stats(x, gamma, beta, *, impl: str | None = None):
+    """Forward returning the full (y, mean, var) triple the CUDA launcher
+    emits (src/layernorm_kernel.cu:116-177). Not differentiable."""
+    impl = resolve_impl(impl)
+    if impl == "pallas":
+        return layernorm_forward(x, gamma, beta)
+    return tuple(ref.layernorm_fw_reference(x, gamma, beta))

@@ -1,0 +1,127 @@
+"""Benchmark timing harness.
+
+The TPU analog of the reference's measurement protocol (test_utils.py:190-217:
+warmup run, ``nrepeat`` runs bracketed by device synchronization, mean
+wall-clock ms, speedup = baseline/custom).  Two differences forced by XLA's
+async dispatch model:
+
+  * every timed run is data-dependent on the previous one (a zero-valued
+    function of the prior output is folded into the next input), so the device
+    cannot overlap or elide back-to-back executions — the failure mode of
+    naive ``for: f(x)`` loops under async dispatch;
+  * the repeat loop runs *inside* one jit as a ``lax.scan``, so per-call
+    host→device dispatch latency (large over a tunneled link) is excluded
+    from the measurement.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class BenchResult:
+    name: str
+    mean_ms: float
+    iters: int
+    flops: float | None = None
+
+    @property
+    def tflops(self) -> float | None:
+        if self.flops is None:
+            return None
+        return self.flops / (self.mean_ms * 1e-3) / 1e12
+
+    def __str__(self) -> str:
+        s = f"{self.name}: {self.mean_ms:.3f} ms"
+        if self.flops is not None:
+            s += f"  ({self.tflops:.1f} TFLOP/s)"
+        return s
+
+
+def _chain(args: tuple, out: Any) -> tuple:
+    """Fold a runtime near-zero that depends on `out` into the first float
+    array of args, creating a serializing data dependency between iterations.
+
+    The perturbation is ``sum(out) * 1e-30`` — numerically a no-op after
+    rounding, but a *runtime* value, so XLA cannot algebraically fold it away
+    and dead-code the loop body (which it happily does for a literal
+    ``0.0 * sum(out)``)."""
+    leaves = jax.tree_util.tree_leaves(out)
+    eps = jnp.array(0.0, jnp.float32)
+    for leaf in leaves:
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            eps = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
+            break
+    new_args = []
+    chained = False
+    for a in args:
+        if (not chained and hasattr(a, "dtype")
+                and jnp.issubdtype(a.dtype, jnp.floating)):
+            new_args.append(a + eps.astype(a.dtype))
+            chained = True
+        else:
+            new_args.append(a)
+    return tuple(new_args)
+
+
+def benchmark(
+    f: Callable,
+    *args,
+    iters: int = 50,
+    warmup: int = 2,
+    name: str = "fn",
+    flops: float | None = None,
+) -> BenchResult:
+    """Time `f(*args)` with chained iterations inside a single jit."""
+
+    @jax.jit
+    def loop(args):
+        def body(carry_args, _):
+            out = f(*carry_args)
+            return _chain(carry_args, out), 0
+        final_args, _ = jax.lax.scan(body, args, None, length=iters)
+        return final_args
+
+    args = tuple(args)
+    for _ in range(max(1, warmup)):
+        r = loop(args)
+    jax.block_until_ready(r)
+
+    t0 = time.perf_counter()
+    r = loop(args)
+    jax.block_until_ready(r)
+    dt = time.perf_counter() - t0
+    return BenchResult(name=name, mean_ms=dt / iters * 1e3, iters=iters,
+                       flops=flops)
+
+
+def compare(
+    custom: Callable,
+    baseline: Callable,
+    *args,
+    iters: int = 50,
+    flops: float | None = None,
+    names: Sequence[str] = ("custom", "baseline"),
+):
+    """Benchmark two implementations on the same inputs; returns
+    (custom_result, baseline_result, speedup) — the analog of the reference
+    harness's speedup printout (test_utils.py:214-217)."""
+    rc = benchmark(custom, *args, iters=iters, name=names[0], flops=flops)
+    rb = benchmark(baseline, *args, iters=iters, name=names[1], flops=flops)
+    return rc, rb, rb.mean_ms / rc.mean_ms
+
+
+def attention_flops(B: int, H: int, L: int, d: int, *, causal: bool,
+                    fwd_and_bwd: bool = False) -> float:
+    """Matmul FLOPs of one attention call: 2 GEMMs forward (QK^T and PV),
+    5 total in backward; causal halves the work."""
+    per_gemm = 2.0 * B * H * L * L * d
+    n_gemm = 2 + (5 if fwd_and_bwd else 0)
+    total = per_gemm * n_gemm
+    return total * 0.5 if causal else total
