@@ -1,0 +1,27 @@
+"""Neural-network layer of tpu_flash: functional module system, basic layers,
+the pre-LN decoder transformer, and pure pytree optimizers — the analog of
+the reference's minitorch/{module,nn,modules_basic,modules_transfomer,optim}.py.
+"""
+
+from tpu_flash.nn import functional  # noqa: F401
+from tpu_flash.nn.layers import (  # noqa: F401
+    Dropout,
+    Embedding,
+    LayerNorm,
+    Linear,
+)
+from tpu_flash.nn.module import (  # noqa: F401
+    Module,
+    ModuleList,
+    named_parameters,
+    num_parameters,
+    tree_cast,
+)
+from tpu_flash.nn.optim import adam, clip_by_global_norm, sgd  # noqa: F401
+from tpu_flash.nn.transformer import (  # noqa: F401
+    DecoderConfig,
+    DecoderLM,
+    FeedForward,
+    MultiHeadAttention,
+    TransformerLayer,
+)

@@ -1,0 +1,93 @@
+"""Optimizers as pure pytree transforms — the analog of minitorch/optim.py.
+
+Optax-style ``(init, update)`` pairs: state is an explicit pytree so an
+optimizer step is a pure function that jits/shards like everything else (the
+reference mutates Parameter objects in Python per-tensor, optim.py:50-79 —
+~6 device round-trips per parameter per step; here the entire update is one
+fused XLA program).
+
+``adam`` implements the textbook rule with the step-size form the reference
+uses (``lr * sqrt(1-b2^t)/(1-b1^t)``).  ``minitorch_compat=True`` reproduces
+the reference's second-moment accumulation exactly — including its bug of
+using ``(1 - beta1)`` as the coefficient on ``grad**2`` (optim.py:68) — for
+bit-for-bit loss-curve matching against the reference implementation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class Transform(NamedTuple):
+    init: Callable[[Any], Any]
+    update: Callable[[Any, Any, Any], tuple[Any, Any]]
+    # update(grads, state, params) -> (new_params, new_state)
+
+
+def sgd(lr: float = 0.01) -> Transform:
+    """Plain SGD (optim.py:140-151)."""
+
+    def init(params):
+        return ()
+
+    def update(grads, state, params):
+        new_params = jax.tree_util.tree_map(
+            lambda p, g: p - lr * g, params, grads)
+        return new_params, state
+
+    return Transform(init, update)
+
+
+class AdamState(NamedTuple):
+    step: jax.Array
+    exp_avg: Any
+    exp_avg_sq: Any
+
+
+def adam(
+    lr: float = 1e-3,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    minitorch_compat: bool = False,
+) -> Transform:
+    """Adam (optim.py:33-79).  ``denom = sqrt(v) + eps``;
+    ``step_size = lr * sqrt(1 - b2^t) / (1 - b1^t)``."""
+
+    sq_coeff = (1.0 - beta1) if minitorch_compat else (1.0 - beta2)
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamState(jnp.zeros((), jnp.int32), zeros,
+                         jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        step = state.step + 1
+        exp_avg = jax.tree_util.tree_map(
+            lambda m, g: beta1 * m + (1.0 - beta1) * g,
+            state.exp_avg, grads)
+        exp_avg_sq = jax.tree_util.tree_map(
+            lambda v, g: beta2 * v + sq_coeff * jnp.square(g),
+            state.exp_avg_sq, grads)
+        bc1 = 1.0 - beta1 ** step.astype(jnp.float32)
+        bc2 = 1.0 - beta2 ** step.astype(jnp.float32)
+        step_size = lr * jnp.sqrt(bc2) / bc1
+        new_params = jax.tree_util.tree_map(
+            lambda p, m, v: p - step_size * m / (jnp.sqrt(v) + eps),
+            params, exp_avg, exp_avg_sq)
+        return new_params, AdamState(step, exp_avg, exp_avg_sq)
+
+    return Transform(init, update)
+
+
+def clip_by_global_norm(grads, max_norm: float):
+    """Global-norm gradient clipping (not in the reference; standard for LM
+    training stability)."""
+    leaves = jax.tree_util.tree_leaves(grads)
+    norm = jnp.sqrt(sum(jnp.sum(jnp.square(g.astype(jnp.float32)))
+                        for g in leaves))
+    scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+    return jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads), norm

@@ -1,0 +1,229 @@
+"""Pre-LN decoder-only transformer — the analog of
+minitorch/modules_transfomer.py (MultiHeadAttention, FeedForward,
+TransformerLayer, DecoderLM).
+
+Architecture parity with the reference:
+  * MHA: separate q/k/v/out projections of size n_embd -> n_embd with bias
+    (modules_transfomer.py:52-56); scores scaled by 1/sqrt(attn_hidden_dim);
+    three attention paths selected by flags — flash kernel, fused-softmax
+    kernel, or naive composed graph (modules_transfomer.py:119-137);
+    attention-matrix dropout is declared but never applied in the reference's
+    forward — preserved (no attention dropout);
+  * FeedForward: Linear -> tanh-GELU -> dropout -> Linear, middle_dim=256
+    (modules_transfomer.py:161-203);
+  * TransformerLayer: pre-LN, ``x + attn(ln1(x))`` then ``out + ff(ln2(out))``
+    (modules_transfomer.py:240-252), LayerNorm fused-switchable;
+  * DecoderLM: token + position embeddings, dropout, n_layer transformer
+    layers (4 in the reference), final LayerNorm, lm_head
+    (modules_transfomer.py:255-358).
+
+Deliberate fixes/extensions over the reference: position_embeddings is sized
+``n_positions`` (the reference sizes it ``n_vocab``,
+modules_transfomer.py:297 — a latent bug); ``n_layer`` is configurable; the
+layer stack can run under ``jax.lax.scan`` with ``jax.checkpoint``
+(rematerialization) for long-sequence training; attention accepts an optional
+KV-cache for incremental decode (the reference has none, SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Literal
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.nn import functional as F
+from tpu_flash.nn.layers import Dropout, Embedding, LayerNorm, Linear
+from tpu_flash.nn.module import Module, ModuleList, Params
+from tpu_flash.ops import attn_softmax, flash_attention
+from tpu_flash.ops.reference import causal_mask
+
+AttentionKind = Literal["flash", "fused", "naive"]
+
+
+@dataclasses.dataclass
+class DecoderConfig:
+    """Single dataclass config (replaces the reference's fire/argparse flag
+    threading, SURVEY.md §5.6)."""
+
+    n_vocab: int = 10_000
+    n_embd: int = 256
+    n_head: int = 8
+    n_positions: int = 1024
+    n_layer: int = 4
+    ff_middle_dim: int = 256
+    p_dropout: float = 0.1
+    ln_eps: float = 1e-5
+    bias: bool = True
+    causal: bool = True
+    attention_kind: AttentionKind = "flash"       # use_flash_attention
+    use_fused_kernel: bool = False                # fused softmax + LN switch
+    dtype: Any = jnp.float32
+    # TPU-first extras
+    remat: bool = False                           # jax.checkpoint per layer
+    embedding_one_hot: bool = False               # reference parity path
+
+    @property
+    def attn_hidden_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+class MultiHeadAttention(Module):
+    def __init__(self, cfg: DecoderConfig):
+        self.cfg = cfg
+        c = cfg
+        self.q_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
+        self.k_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
+        self.v_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
+        self.out_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
+
+    def project_to_query_key_value(self, params, x):
+        """x [B, L, E] -> q, k, v [B, H, L, dh] (modules_transfomer.py:68-89;
+        unlike the reference, K is never pre-transposed — the kernels take
+        [B, H, L, d] uniformly)."""
+        B, L, E = x.shape
+        c = self.cfg
+        def split(y):
+            return y.reshape(B, L, c.n_head, c.attn_hidden_dim).transpose(0, 2, 1, 3)
+        q = split(self.q_projection(params["q_projection"], x))
+        k = split(self.k_projection(params["k_projection"], x))
+        v = split(self.v_projection(params["v_projection"], x))
+        return q, k, v
+
+    def self_attention(self, q, k, v, *, kv_mask=None):
+        """The three-path attention dispatch (modules_transfomer.py:119-137)."""
+        c = self.cfg
+        if c.attention_kind == "flash":
+            return flash_attention(q, k, v, causal=c.causal)
+        scale = 1.0 / math.sqrt(c.attn_hidden_dim)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        if c.attention_kind == "fused":
+            p = attn_softmax(s, kv_mask, mask_future=c.causal)
+        else:
+            if c.causal:
+                s = s + causal_mask(q.shape[-2], k.shape[-2], s.dtype)
+            if kv_mask is not None:
+                s = s + kv_mask[:, None, None, :].astype(s.dtype)
+            p = F.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    def __call__(self, params: Params, x: jax.Array, *,
+                 kv_cache=None, kv_mask=None,
+                 key=None, training: bool = False):
+        B, L, E = x.shape
+        c = self.cfg
+        q, k, v = self.project_to_query_key_value(params, x)
+        if kv_cache is not None:
+            # Incremental decode: append this step's k/v into the cache and
+            # attend over the full prefix (new capability vs the reference).
+            k, v, kv_cache = kv_cache.update(k, v)
+        out = self.self_attention(q, k, v, kv_mask=kv_mask)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+        out = self.out_projection(params["out_projection"], out)
+        if kv_cache is not None:
+            return out, kv_cache
+        return out
+
+
+class FeedForward(Module):
+    def __init__(self, cfg: DecoderConfig):
+        self.cfg = cfg
+        self.linear_in = Linear(cfg.n_embd, cfg.ff_middle_dim, cfg.bias, cfg.dtype)
+        self.linear_out = Linear(cfg.ff_middle_dim, cfg.n_embd, cfg.bias, cfg.dtype)
+        self.dropout = Dropout(cfg.p_dropout)
+
+    def __call__(self, params: Params, x: jax.Array, *,
+                 key=None, training: bool = False):
+        x = self.linear_in(params["linear_in"], x)
+        x = F.gelu(x)
+        x = self.dropout({}, x, key=key, training=training)
+        return self.linear_out(params["linear_out"], x)
+
+
+class TransformerLayer(Module):
+    def __init__(self, cfg: DecoderConfig):
+        self.cfg = cfg
+        self.ln_1 = LayerNorm(cfg.n_embd, cfg.ln_eps, fused=cfg.use_fused_kernel, dtype=cfg.dtype)
+        self.ln_2 = LayerNorm(cfg.n_embd, cfg.ln_eps, fused=cfg.use_fused_kernel, dtype=cfg.dtype)
+        self.attention = MultiHeadAttention(cfg)
+        self.ff = FeedForward(cfg)
+
+    def __call__(self, params: Params, x: jax.Array, *,
+                 kv_cache=None, kv_mask=None, key=None, training: bool = False):
+        k1, k2 = (jax.random.split(key) if key is not None else (None, None))
+        h = self.ln_1(params["ln_1"], x)
+        if kv_cache is not None:
+            attn_out, kv_cache = self.attention(
+                params["attention"], h, kv_cache=kv_cache, kv_mask=kv_mask,
+                key=k1, training=training)
+        else:
+            attn_out = self.attention(
+                params["attention"], h, kv_mask=kv_mask, key=k1,
+                training=training)
+        out = x + attn_out
+        out2 = self.ff(params["ff"], self.ln_2(params["ln_2"], out),
+                       key=k2, training=training)
+        result = out + out2
+        if kv_cache is not None:
+            return result, kv_cache
+        return result
+
+
+class DecoderLM(Module):
+    def __init__(self, cfg: DecoderConfig):
+        self.cfg = cfg
+        self.token_embeddings = Embedding(
+            cfg.n_vocab, cfg.n_embd, cfg.dtype, cfg.embedding_one_hot)
+        self.position_embeddings = Embedding(
+            cfg.n_positions, cfg.n_embd, cfg.dtype, cfg.embedding_one_hot)
+        self.layers = ModuleList(
+            [TransformerLayer(cfg) for _ in range(cfg.n_layer)])
+        self.dropout = Dropout(cfg.p_dropout)
+        self.ln = LayerNorm(cfg.n_embd, cfg.ln_eps, fused=cfg.use_fused_kernel, dtype=cfg.dtype)
+        self.lm_head = Linear(cfg.n_embd, cfg.n_vocab, cfg.bias, cfg.dtype)
+
+    def __call__(self, params: Params, idx: jax.Array, *,
+                 kv_caches=None, kv_mask=None, positions=None,
+                 key=None, training: bool = False):
+        """idx [B, L] int32 -> logits [B, L, n_vocab].
+
+        ``positions`` overrides the default arange positions (needed for
+        incremental decode); ``kv_caches`` is a list of per-layer caches.
+        """
+        B, L = idx.shape
+        c = self.cfg
+        if positions is None:
+            positions = jnp.arange(L, dtype=jnp.int32)[None, :]
+        tok = self.token_embeddings(params["token_embeddings"], idx)
+        pos = self.position_embeddings(params["position_embeddings"], positions)
+        nkeys = c.n_layer + 1
+        keys = (jax.random.split(key, nkeys) if key is not None
+                else [None] * nkeys)
+        x = self.dropout({}, tok + pos, key=keys[0], training=training)
+
+        new_caches = [] if kv_caches is not None else None
+        for li, layer in enumerate(self.layers):
+            lparams = params["layers"][str(li)]
+            fn = layer
+            if c.remat and kv_caches is None:
+                fn = jax.checkpoint(
+                    lambda p, x, _layer=layer, _k=keys[li + 1]: _layer(
+                        p, x, kv_mask=kv_mask, key=_k, training=training))
+                x = fn(lparams, x)
+                continue
+            if kv_caches is not None:
+                x, cache = layer(lparams, x, kv_cache=kv_caches[li],
+                                 kv_mask=kv_mask, key=keys[li + 1],
+                                 training=training)
+                new_caches.append(cache)
+            else:
+                x = layer(lparams, x, kv_mask=kv_mask, key=keys[li + 1],
+                          training=training)
+
+        x = self.ln(params["ln"], x)
+        logits = self.lm_head(params["lm_head"], x)
+        if kv_caches is not None:
+            return logits, new_caches
+        return logits
