@@ -1,0 +1,83 @@
+"""MT data pipeline tests: synthetic dataset determinism, tokenizer specials,
+and the packing/masking semantics of collate_batch
+(the reference's protocol, run_machine_translation.py:87-154)."""
+
+import numpy as np
+import pytest
+
+from tpu_flash.data import mt
+
+
+@pytest.fixture(scope="module")
+def small_corpus(tmp_path_factory):
+    data = mt.synthetic_translation_dataset(
+        n_train=300, n_validation=30, n_test=20, n_words=50)
+    tok = mt.get_tokenizer(
+        data["train"], vocab_size=500, src_key="de", tgt_key="en",
+        workdir=str(tmp_path_factory.mktemp("tok")))
+    return data, tok
+
+
+def test_synthetic_dataset_deterministic():
+    a = mt.synthetic_translation_dataset(n_train=10, n_validation=2, n_test=2)
+    b = mt.synthetic_translation_dataset(n_train=10, n_validation=2, n_test=2)
+    assert a == b
+    # bijective word-level translation: same number of words
+    for ex in a["train"]:
+        assert len(ex["de"].split()) == len(ex["en"].split())
+
+
+def test_get_dataset_filters_and_caps():
+    data, src, tgt = mt.get_dataset(model_max_length=12, synthetic=True,
+                                    n_train=500, n_test=300)
+    assert src == "de" and tgt == "en"
+    assert len(data["test"]) <= 100  # reference caps test at 100
+    for ex in data["train"]:
+        assert len(ex[src].split()) + len(ex[tgt].split()) < 12
+
+
+def test_tokenizer_specials(small_corpus):
+    _, tok = small_corpus
+    for special in ["<eos_de>", "<eos_en>", "<pad>"]:
+        assert special in tok.vocab
+    # specials encode to single ids
+    assert len(tok("<eos_de>")["input_ids"]) == 1
+
+
+def test_collate_batch_packing(small_corpus):
+    data, tok = small_corpus
+    L = 32
+    batch = mt.collate_batch(data["train"][:4], "de", "en", tok, L)
+    assert batch["input_ids"].shape == (4, L)
+    assert batch["labels"].shape == (4, L)
+    assert batch["label_token_weights"].shape == (4, L)
+
+    pad = tok.vocab["<pad>"]
+    eos_de = tok.vocab["<eos_de>"]
+    for i, ex in enumerate(data["train"][:4]):
+        ids_src = tok(f'{ex["de"]}<eos_de>')["input_ids"]
+        ids_tgt = tok(f'{ex["en"]}<eos_en>')["input_ids"]
+        real = (ids_src + ids_tgt)[:L]
+        row = batch["input_ids"][i]
+        assert list(row[:len(real)]) == real
+        assert all(t == pad for t in row[len(real):])
+        # labels are next tokens
+        assert list(batch["labels"][i][:len(real) - 1]) == real[1:]
+        # weights: zero on the source prefix (up to eos_de inclusive-1)
+        w = batch["label_token_weights"][i]
+        n_src = len(ids_src)
+        assert np.all(w[:n_src - 1] == 0)
+        assert np.all(w[n_src - 1:] == 1)   # reference keeps pads at weight 1
+
+
+def test_collate_mask_padding(small_corpus):
+    data, tok = small_corpus
+    L = 32
+    batch = mt.collate_batch(data["train"][:2], "de", "en", tok, L,
+                             mask_padding=True)
+    pad = tok.vocab["<pad>"]
+    for i in range(2):
+        row = batch["input_ids"][i]
+        n_real = int(np.sum(row != pad))
+        if n_real < L:
+            assert np.all(batch["label_token_weights"][i][n_real:] == 0)

@@ -1,0 +1,152 @@
+"""KV-cache for incremental decode — a capability the reference lacks
+entirely: its ``generate`` re-runs the full forward over the whole prefix for
+every token (project/run_machine_translation.py:250-301, SURVEY.md §3.5), so
+decode is O(L^2) per token.  This cache makes decode O(L) per token and is
+the substrate for the quantized-KV decode path.
+
+Design:
+  * fixed ``max_len`` buffers (static shapes — one compile);
+  * per-sequence ``lengths`` [B] so batches can be ragged (the unit of
+    continuous batching);
+  * pluggable storage dtype: fp32/bf16 (plain), int8 or fp8(e4m3) with
+    per-(batch, head, position) scales — dequantized on read.
+
+Registered as a pytree so caches flow through jit/scan/pjit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+
+QuantMode = Literal["none", "int8", "fp8"]
+
+_INT8_MAX = 127.0
+_FP8_MAX = 448.0  # max normal of float8_e4m3fn
+
+
+def _quantize(x: jax.Array, mode: QuantMode):
+    """Per-(…, position) symmetric quantization over the head_dim axis.
+    Returns (codes, scales)."""
+    if mode == "none":
+        return x, None
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    if mode == "int8":
+        scale = amax / _INT8_MAX
+        safe = jnp.where(scale == 0.0, 1.0, scale)
+        codes = jnp.clip(jnp.round(x / safe), -127, 127).astype(jnp.int8)
+    elif mode == "fp8":
+        scale = amax / _FP8_MAX
+        safe = jnp.where(scale == 0.0, 1.0, scale)
+        codes = (x / safe).astype(jnp.float8_e4m3fn)
+    else:
+        raise ValueError(mode)
+    return codes, scale.astype(jnp.float32)
+
+
+def _dequantize(codes: jax.Array, scales, out_dtype):
+    if scales is None:
+        return codes.astype(out_dtype)
+    return (codes.astype(jnp.float32) * scales).astype(out_dtype)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class KVCache:
+    """Single-layer cache: k/v of shape [B, H, max_len, d] (codes) plus
+    optional scales [B, H, max_len, 1] and per-sequence lengths [B]."""
+
+    k: jax.Array
+    v: jax.Array
+    k_scale: jax.Array | None
+    v_scale: jax.Array | None
+    lengths: jax.Array          # [B] int32: tokens already cached
+    quant: str = "none"
+    compute_dtype: object = jnp.float32
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        children = (self.k, self.v, self.k_scale, self.v_scale, self.lengths)
+        aux = (self.quant, self.compute_dtype)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        k, v, ks, vs, lengths = children
+        return cls(k, v, ks, vs, lengths, *aux)
+
+    # -- construction -------------------------------------------------------
+    @classmethod
+    def create(cls, batch: int, n_head: int, max_len: int, head_dim: int,
+               *, quant: QuantMode = "none", compute_dtype=jnp.float32):
+        if quant == "none":
+            store_dtype = compute_dtype
+            scales = None
+        elif quant == "int8":
+            store_dtype = jnp.int8
+            scales = jnp.zeros((batch, n_head, max_len, 1), jnp.float32)
+        elif quant == "fp8":
+            store_dtype = jnp.float8_e4m3fn
+            scales = jnp.zeros((batch, n_head, max_len, 1), jnp.float32)
+        else:
+            raise ValueError(quant)
+        shape = (batch, n_head, max_len, head_dim)
+        return cls(
+            k=jnp.zeros(shape, store_dtype),
+            v=jnp.zeros(shape, store_dtype),
+            k_scale=scales,
+            v_scale=scales,
+            lengths=jnp.zeros((batch,), jnp.int32),
+            quant=quant,
+            compute_dtype=compute_dtype,
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    # -- update / read ------------------------------------------------------
+    def update(self, k_new: jax.Array, v_new: jax.Array):
+        """Append k_new/v_new [B, H, Lnew, d] at each sequence's current
+        length.  Returns (k_full, v_full, new_cache) where k_full/v_full are
+        dequantized [B, H, max_len, d] buffers (positions beyond a sequence's
+        new length are stale/zero — mask at attention time)."""
+        B, H, Lnew, d = k_new.shape
+
+        kq, ks = _quantize(k_new, self.quant)
+        vq, vs = _quantize(v_new, self.quant)
+
+        def upd(buf, val, start):
+            # buf [H, max_len, ...], val [H, Lnew, ...]
+            return jax.lax.dynamic_update_slice(
+                buf, val, (0, start) + (0,) * (buf.ndim - 2))
+
+        k = jax.vmap(upd)(self.k, kq, self.lengths)
+        v = jax.vmap(upd)(self.v, vq, self.lengths)
+        if self.quant == "none":
+            k_scale, v_scale = None, None
+        else:
+            k_scale = jax.vmap(upd)(self.k_scale, ks, self.lengths)
+            v_scale = jax.vmap(upd)(self.v_scale, vs, self.lengths)
+
+        new = KVCache(k, v, k_scale, v_scale, self.lengths + Lnew,
+                      self.quant, self.compute_dtype)
+        return new.read_k(), new.read_v(), new
+
+    def read_k(self) -> jax.Array:
+        return _dequantize(self.k, self.k_scale, self.compute_dtype)
+
+    def read_v(self) -> jax.Array:
+        return _dequantize(self.v, self.v_scale, self.compute_dtype)
+
+    def attention_mask(self, n_queries: int) -> jax.Array:
+        """Additive mask [B, n_queries, max_len]: query i (the i-th of the
+        ``n_queries`` newest tokens) attends cache positions
+        ``<= lengths - n_queries + i`` (lengths counted *after* update)."""
+        pos = jnp.arange(self.max_len, dtype=jnp.int32)[None, None, :]
+        qidx = jnp.arange(n_queries, dtype=jnp.int32)[None, :, None]
+        limit = (self.lengths[:, None, None] - n_queries) + qidx
+        return jnp.where(pos <= limit, 0.0, -1e7).astype(jnp.float32)

@@ -109,6 +109,19 @@ class MultiHeadAttention(Module):
             p = F.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
+    def _cached_attention(self, q, k_full, v_full, cache):
+        """Decode-path attention over the full cache buffer with the cache's
+        dynamic-length causal mask (positions beyond each sequence's length
+        are stale and masked).  Runs the XLA composed graph — lengths are
+        traced values, which the static-shape Pallas kernel cannot consume;
+        the fused quantized-decode kernel replaces this on the hot path."""
+        c = self.cfg
+        scale = 1.0 / math.sqrt(c.attn_hidden_dim)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_full) * scale
+        s = s + cache.attention_mask(q.shape[2])[:, None, :, :].astype(s.dtype)
+        p = F.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v_full)
+
     def __call__(self, params: Params, x: jax.Array, *,
                  kv_cache=None, kv_mask=None,
                  key=None, training: bool = False):
@@ -118,13 +131,14 @@ class MultiHeadAttention(Module):
         if kv_cache is not None:
             # Incremental decode: append this step's k/v into the cache and
             # attend over the full prefix (new capability vs the reference).
-            k, v, kv_cache = kv_cache.update(k, v)
+            k_full, v_full, kv_cache = kv_cache.update(k, v)
+            out = self._cached_attention(q, k_full, v_full, kv_cache)
+            out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+            out = self.out_projection(params["out_projection"], out)
+            return out, kv_cache
         out = self.self_attention(q, k, v, kv_mask=kv_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
-        out = self.out_projection(params["out_projection"], out)
-        if kv_cache is not None:
-            return out, kv_cache
-        return out
+        return self.out_projection(params["out_projection"], out)
 
 
 class FeedForward(Module):
