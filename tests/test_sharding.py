@@ -1,0 +1,120 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh: the SPMD
+train step (Megatron TP over 'model' + data parallelism over 'data') must
+reproduce single-device losses exactly, and the shard_map'ed Pallas kernels
+must agree with their unsharded results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from tpu_flash import nn, parallel
+from tpu_flash.ops import flash_attention, layer_norm, naive_attention
+
+
+@pytest.fixture(autouse=True)
+def clear_ctx():
+    yield
+    parallel.set_parallel_context(None)
+
+
+def make_model():
+    cfg = nn.DecoderConfig(n_vocab=128, n_embd=64, n_head=8, n_positions=32,
+                           n_layer=2, p_dropout=0.0, attention_kind="flash")
+    return nn.DecoderLM(cfg)
+
+
+def loss_fn_for(model):
+    def loss_fn(params, batch, key=None, training=False):
+        logits = model(params, batch["input_ids"], key=key, training=training)
+        losses = nn.functional.softmax_loss(logits, batch["labels"])
+        return jnp.mean(losses * batch["label_token_weights"])
+    return loss_fn
+
+
+def make_batch(rng, B=4, L=32, V=128):
+    return {
+        "input_ids": rng.integers(0, V, (B, L)).astype(np.int32),
+        "labels": rng.integers(0, V, (B, L)).astype(np.int32),
+        "label_token_weights": rng.random((B, L)).astype(np.float32),
+    }
+
+
+def test_mesh_construction():
+    ctx = parallel.make_mesh(data=2, model=4)
+    assert ctx.data_size == 2 and ctx.model_size == 4
+    with pytest.raises(ValueError):
+        parallel.make_mesh(data=3, model=3)
+
+
+def test_param_specs_layout():
+    model = make_model()
+    params = model.init(jax.random.key(0))
+    specs = parallel.decoder_param_specs(model, params)
+    att = specs["layers"]["0"]["attention"]
+    assert att["q_projection"]["weight"] == P(None, "model")
+    assert att["out_projection"]["weight"] == P("model", None)
+    assert specs["layers"]["0"]["ff"]["linear_in"]["weight"] == P(None, "model")
+    assert specs["ln"]["gamma"] == P(None)
+
+
+def test_sharded_flash_attention_matches(rng):
+    ctx = parallel.make_mesh(data=2, model=4)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 8, 64, 32)), jnp.float32)
+               for _ in range(3))
+    expected = naive_attention(q, k, v, causal=True)
+    with parallel.parallel_context(ctx):
+        out = flash_attention(q, k, v, causal=True)
+    assert out.sharding.spec == P("data", "model", None, None)
+    np.testing.assert_allclose(out, expected, atol=1e-3, rtol=1e-3)
+
+
+def test_sharded_layer_norm_matches(rng):
+    ctx = parallel.make_mesh(data=8, model=1)
+    x = jnp.asarray(rng.standard_normal((8, 16, 64)), jnp.float32)
+    g = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((64,)), jnp.float32)
+    expected = layer_norm(x, g, b)
+    with parallel.parallel_context(ctx):
+        out = layer_norm(x, g, b)
+    np.testing.assert_allclose(out, expected, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("data,model_p", [(8, 1), (2, 4), (1, 8)])
+def test_sharded_train_step_matches_single_device(rng, data, model_p):
+    ctx = parallel.make_mesh(data=data, model=model_p)
+    model = make_model()
+    opt = nn.adam(lr=1e-3)
+    loss_fn = loss_fn_for(model)
+
+    params, opt_state, _ = parallel.init_sharded(
+        ctx, model, opt, jax.random.key(0))
+    raw = make_batch(rng, B=8)
+    batch = parallel.put_batch(ctx, raw)
+    step = parallel.make_sharded_train_step(ctx, model, opt, loss_fn)
+    sharded_losses = []
+    for i in range(3):
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.key(i))
+        sharded_losses.append(float(loss))
+
+    parallel.set_parallel_context(None)
+    p = model.init(jax.random.key(0))
+    o = opt.init(p)
+
+    @jax.jit
+    def step1(p, o, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch, key=key,
+                                                  training=True)
+        p, o = opt.update(grads, o, p)
+        return p, o, loss
+
+    host_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    single_losses = []
+    for i in range(3):
+        p, o, loss = step1(p, o, host_batch, jax.random.key(i))
+        single_losses.append(float(loss))
+
+    np.testing.assert_allclose(sharded_losses, single_losses,
+                               rtol=1e-5, atol=1e-6)

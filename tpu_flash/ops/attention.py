@@ -92,10 +92,32 @@ def flash_attention(
     ``version`` selects the FA1/FA2 residual convention (both backed by the
     same TPU kernels), ``impl`` overrides the registry default
     ("pallas" | "reference" | "xla").
+
+    When a parallel context is active (parallel.context), the kernel runs
+    inside a `jax.shard_map` region with batch sharded over the data axis and
+    heads over the model axis — GSPMD cannot partition a pallas_call, and
+    attention is embarrassingly parallel over (batch, heads), so this is the
+    TPU-native tensor-parallel form (no collectives inside attention).
     """
     if version not in (1, 2):
         raise ValueError(f"version must be 1 or 2, got {version}")
     impl = resolve_impl(impl)
+
+    from tpu_flash.parallel.context import current_context
+
+    ctx = current_context()
+    if ctx is not None and impl == "pallas":
+        B, H = q.shape[0], q.shape[1]
+        if B % ctx.data_size == 0 and H % ctx.model_size == 0:
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(ctx.data_axis, ctx.model_axis, None, None)
+            fn = jax.shard_map(
+                lambda q, k, v: _flash_attention(q, k, v, causal, impl),
+                mesh=ctx.mesh, in_specs=(spec, spec, spec), out_specs=spec,
+                check_vma=False)
+            return fn(q, k, v)
+        impl = "xla"  # indivisible shapes: let GSPMD partition the graph
     return _flash_attention(q, k, v, causal, impl)
 
 

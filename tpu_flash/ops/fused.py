@@ -64,9 +64,33 @@ def attn_softmax(
 
     ``pad_mask`` is an additive [B, Lk] padding mask; ``mask_future`` applies
     the causal mask — the semantics of launch_attn_softmax
-    (src/softmax_kernel.cu:52-88)."""
+    (src/softmax_kernel.cu:52-88).  Under an active parallel context the
+    kernel runs in a shard_map region (batch over data, heads over model)."""
     impl = resolve_impl(impl)
     if impl == "xla":
+        return ref.attn_softmax_reference(x, pad_mask, mask_future=mask_future)
+
+    from tpu_flash.parallel.context import current_context
+
+    ctx = current_context()
+    if ctx is not None and impl == "pallas":
+        B, H = x.shape[0], x.shape[1]
+        if B % ctx.data_size == 0 and H % ctx.model_size == 0:
+            from jax.sharding import PartitionSpec as P
+
+            xspec = P(ctx.data_axis, ctx.model_axis, None, None)
+            if pad_mask is None:
+                fn = jax.shard_map(
+                    lambda x: _attn_softmax(x, None, mask_future, impl),
+                    mesh=ctx.mesh, in_specs=(xspec,), out_specs=xspec,
+                    check_vma=False)
+                return fn(x)
+            mspec = P(ctx.data_axis, None)
+            fn = jax.shard_map(
+                lambda x, m: _attn_softmax(x, m, mask_future, impl),
+                mesh=ctx.mesh, in_specs=(xspec, mspec), out_specs=xspec,
+                check_vma=False)
+            return fn(x, pad_mask)
         return ref.attn_softmax_reference(x, pad_mask, mask_future=mask_future)
     return _attn_softmax(x, pad_mask, mask_future, impl)
 
@@ -110,9 +134,28 @@ def layer_norm(
 ) -> jax.Array:
     """Fused row LayerNorm over the last axis (eps = 1e-8); differentiable.
 
-    The user-facing analog of ``Tensor.layernorm`` (tensor.py:434-435)."""
+    The user-facing analog of ``Tensor.layernorm`` (tensor.py:434-435).
+    Under an active parallel context the kernel runs in a shard_map region
+    with leading (row) dims over the data axis and gamma/beta replicated."""
     impl = resolve_impl(impl)
     if impl == "xla":
+        y, _, _ = ref.layernorm_fw_reference(x, gamma, beta)
+        return y
+
+    from tpu_flash.parallel.context import current_context
+
+    ctx = current_context()
+    if ctx is not None and impl == "pallas":
+        if x.shape[0] % ctx.data_size == 0:
+            from jax.sharding import PartitionSpec as P
+
+            xspec = P(*((ctx.data_axis,) + (None,) * (x.ndim - 1)))
+            gspec = P(None)
+            fn = jax.shard_map(
+                lambda x, g, b: _layer_norm(x, g, b, impl),
+                mesh=ctx.mesh, in_specs=(xspec, gspec, gspec),
+                out_specs=xspec, check_vma=False)
+            return fn(x, gamma, beta)
         y, _, _ = ref.layernorm_fw_reference(x, gamma, beta)
         return y
     return _layer_norm(x, gamma, beta, impl)

@@ -1,0 +1,21 @@
+"""Parallelism layer: mesh construction, Megatron-style TP shardings, and
+the SPMD train step (all new design -- the reference is single-GPU)."""
+
+from tpu_flash.parallel.context import (  # noqa: F401
+    ParallelContext,
+    current_context,
+    make_mesh,
+    parallel_context,
+    set_parallel_context,
+)
+from tpu_flash.parallel.sharding import (  # noqa: F401
+    batch_specs,
+    decoder_param_specs,
+    map_with_specs,
+    shard_params,
+)
+from tpu_flash.parallel.train import (  # noqa: F401
+    init_sharded,
+    make_sharded_train_step,
+    put_batch,
+)

@@ -70,15 +70,17 @@ def _chain(args: tuple, out: Any) -> tuple:
     return tuple(new_args)
 
 
-def benchmark(
-    f: Callable,
-    *args,
-    iters: int = 50,
-    warmup: int = 2,
-    name: str = "fn",
-    flops: float | None = None,
-) -> BenchResult:
-    """Time `f(*args)` with chained iterations inside a single jit."""
+def _first_float_leaf(tree):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf
+    return None
+
+
+def _total_time(f: Callable, args: tuple, iters: int, repeats: int) -> float:
+    """Wall time of `iters` chained executions of f inside one jit, synced by
+    a scalar host readback (block_until_ready does not reliably block over
+    tunneled/async PJRT transports)."""
 
     @jax.jit
     def loop(args):
@@ -86,18 +88,36 @@ def benchmark(
             out = f(*carry_args)
             return _chain(carry_args, out), 0
         final_args, _ = jax.lax.scan(body, args, None, length=iters)
-        return final_args
+        leaf = _first_float_leaf(final_args)
+        return jnp.sum(leaf.astype(jnp.float32))
 
+    float(loop(args))  # warmup incl. compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(loop(args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def benchmark(
+    f: Callable,
+    *args,
+    iters: int = 64,
+    warmup: int = 2,       # kept for API compat; _total_time always warms up
+    name: str = "fn",
+    flops: float | None = None,
+    repeats: int = 3,
+) -> BenchResult:
+    """Time `f(*args)` by *marginal* cost: run chained loops of iters/4 and
+    iters iterations and divide the time difference — this cancels the fixed
+    per-call dispatch/readback overhead (tens of ms over a tunneled link)."""
     args = tuple(args)
-    for _ in range(max(1, warmup)):
-        r = loop(args)
-    jax.block_until_ready(r)
-
-    t0 = time.perf_counter()
-    r = loop(args)
-    jax.block_until_ready(r)
-    dt = time.perf_counter() - t0
-    return BenchResult(name=name, mean_ms=dt / iters * 1e3, iters=iters,
+    lo = max(1, iters // 4)
+    t_lo = _total_time(f, args, lo, repeats)
+    t_hi = _total_time(f, args, iters, repeats)
+    per_iter = max((t_hi - t_lo) / (iters - lo), 1e-9)
+    return BenchResult(name=name, mean_ms=per_iter * 1e3, iters=iters,
                        flops=flops)
 
 
