@@ -1,0 +1,81 @@
+"""Checkpoint/resume, phase timers, and checkify wrapper tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash import nn
+from tpu_flash.utils import (
+    PhaseTimer,
+    checked,
+    list_checkpoints,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    cfg = nn.DecoderConfig(n_vocab=50, n_embd=32, n_head=4, n_positions=16,
+                           n_layer=1, attention_kind="naive")
+    model = nn.DecoderLM(cfg)
+    params = model.init(jax.random.key(0))
+    opt = nn.adam(lr=1e-3)
+    opt_state = opt.init(params)
+    # advance one step so the state is non-trivial
+    g = jax.tree_util.tree_map(jnp.ones_like, params)
+    params2, opt_state2 = opt.update(g, opt_state, params)
+
+    d = str(tmp_path / "ckpt")
+    save_checkpoint(d, 7, {"params": params2, "opt": opt_state2},
+                    metadata={"lr": 1e-3})
+    tree, step, meta = restore_checkpoint(d)
+    assert step == 7 and meta["lr"] == 1e-3
+    for (n1, a), (n2, b) in zip(nn.named_parameters(tree["params"]),
+                                nn.named_parameters(params2)):
+        assert n1 == n2
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state attribute access survives
+    assert int(tree["opt"].step) == 1
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(tree["opt"].exp_avg)[0]),
+        np.asarray(jax.tree_util.tree_leaves(opt_state2.exp_avg)[0]))
+    # training continues from the restored state
+    params3, _ = opt.update(g, tree["opt"], tree["params"])
+    params3_ref, _ = opt.update(g, opt_state2, params2)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(params3)[0]),
+        np.asarray(jax.tree_util.tree_leaves(params3_ref)[0]), rtol=1e-6)
+
+
+def test_checkpoint_prune_and_latest(tmp_path):
+    d = str(tmp_path / "ckpt")
+    for s in [1, 5, 3, 9, 11]:
+        save_checkpoint(d, s, {"x": jnp.asarray([float(s)])}, keep=3)
+    assert list_checkpoints(d) == [5, 9, 11]
+    tree, step, _ = restore_checkpoint(d)
+    assert step == 11 and float(tree["x"][0]) == 11.0
+    tree5, step5, _ = restore_checkpoint(d, step=5)
+    assert step5 == 5 and float(tree5["x"][0]) == 5.0
+
+
+def test_phase_timer():
+    t = PhaseTimer()
+    x = jnp.ones((128, 128))
+    for _ in range(3):
+        with t.phase("mm", out=x):
+            x = x @ x * 1e-3
+    s = t.summary()
+    assert "mm" in s and s["mm"] > 0
+    assert t.counts["mm"] == 3
+    assert "mm" in t.report()
+
+
+def test_checked_catches_nan():
+    def bad(x):
+        return jnp.log(x)  # nan for negative input
+
+    f = checked(bad)
+    f(jnp.asarray([1.0, 2.0]))  # fine
+    with pytest.raises(Exception):
+        f(jnp.asarray([-1.0]))

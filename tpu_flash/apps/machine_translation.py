@@ -170,6 +170,10 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-bleu", action="store_true")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="save a checkpoint every N epochs (0 disables)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the workdir")
     args = p.parse_args(argv)
 
     L = args.model_max_length
@@ -202,7 +206,20 @@ def main(argv=None):
     opt = nn.adam(lr=args.lr)
     opt_state = opt.init(params)
 
-    for epoch in range(args.n_epochs):
+    from tpu_flash.utils import restore_checkpoint, save_checkpoint
+
+    ckpt_dir = os.path.join(workdir, "checkpoints")
+    start_epoch = 0
+    if args.resume:
+        try:
+            tree, step, meta = restore_checkpoint(ckpt_dir)
+            params, opt_state = tree["params"], tree["opt_state"]
+            start_epoch = step + 1
+            print(json.dumps({"resumed_from_epoch": step}))
+        except FileNotFoundError:
+            print(json.dumps({"resume": "no checkpoint found, cold start"}))
+
+    for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, losses, step_times = train_epoch(
@@ -222,6 +239,13 @@ def main(argv=None):
             "tokens_per_sec": round(batch_size * L / mean_step)
             if step_times else None,
         }))
+
+        if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
+            path = save_checkpoint(
+                ckpt_dir, epoch,
+                {"params": params, "opt_state": opt_state},
+                metadata={"lr": args.lr, "config": vars(args)})
+            print(json.dumps({"checkpoint": path}))
 
         if not args.skip_bleu:
             hyps = generate_translations(

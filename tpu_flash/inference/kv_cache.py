@@ -136,6 +136,13 @@ class KVCache:
                       self.quant, self.compute_dtype)
         return new.read_k(), new.read_v(), new
 
+    def append(self, k_new: jax.Array, v_new: jax.Array) -> "KVCache":
+        """Like :meth:`update` but returns only the new cache — the decode
+        kernel consumes the quantized codes directly, so no dequantized full
+        buffers are materialized."""
+        _, _, new = self.update(k_new, v_new)
+        return new
+
     def read_k(self) -> jax.Array:
         return _dequantize(self.k, self.k_scale, self.compute_dtype)
 

@@ -1,0 +1,180 @@
+"""Flash-decode attention kernel over a (optionally quantized) KV-cache.
+
+The serving-side counterpart of the training flash kernels and the core of
+the north-star decode path: one new query token per sequence attends a long
+cached prefix.  The reference has no decode path at all (its generate()
+re-runs the full prefix per token, SURVEY.md §3.5).
+
+Kernel design:
+  * grid (B, H, S_tiles) with the key tiles innermost (sequential); online
+    softmax state in VMEM scratch exactly like the training forward;
+  * per-sequence prefix lengths arrive via scalar prefetch
+    (PrefetchScalarGridSpec) — they are *runtime* values, which the
+    static-shape training kernel cannot take;
+  * tiles entirely beyond a sequence's length are skipped for compute AND
+    for DMA: the index_map clamps out-of-range tile indices to the last
+    in-range tile, and Pallas elides the re-fetch of an unchanged block —
+    so HBM traffic scales with the true prefix length, not the buffer size;
+  * INT8/FP8 KV codes are streamed and dequantized in VMEM against
+    per-position scales — the cache stays quantized in HBM, halving (or
+    quartering) decode's dominant bandwidth cost.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_flash.kernels.common import (
+    MASK_VALUE,
+    cdiv,
+    default_interpret,
+    round_up,
+)
+
+DEFAULT_BLOCK_S = 512
+
+
+def _decode_kernel(
+    lengths_ref,                                   # scalar prefetch [B]
+    q_ref, k_ref, ks_ref, v_ref, vs_ref,           # inputs
+    o_ref,                                         # output
+    acc_ref, m_ref, l_ref,                         # scratch
+    *, scale, block_s, num_s, quantized,
+):
+    b = pl.program_id(0)
+    j = pl.program_id(2)
+    length = lengths_ref[b]
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    @pl.when(j * block_s < length)
+    def _body():
+        q = q_ref[0, 0]                            # [1, d] (padded row dim)
+        k = k_ref[0, 0]                            # [bs, d] codes or values
+        v = v_ref[0, 0]
+        if quantized:
+            k = k.astype(jnp.float32) * ks_ref[0, 0]
+            v = v.astype(jnp.float32) * vs_ref[0, 0]
+        else:
+            k = k.astype(jnp.float32)
+            v = v.astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            q.astype(jnp.float32), k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [1, bs]
+        pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, MASK_VALUE)
+
+        m_prev, l_prev = m_ref[:], l_ref[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_ref[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [1, d]
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = m_new
+
+    @pl.when(j == num_s - 1)
+    def _epilogue():
+        l_fin = l_ref[:]
+        l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
+        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_s", "interpret"),
+)
+def flash_decode_attention(
+    q: jax.Array,                 # [B, H, 1, d] new-token queries
+    k_cache: jax.Array,           # [B, H, S, d] fp / int8 / fp8 codes
+    v_cache: jax.Array,
+    lengths: jax.Array,           # [B] int32 valid prefix lengths
+    k_scale: jax.Array | None = None,   # [B, H, S, 1] fp32 (quantized caches)
+    v_scale: jax.Array | None = None,
+    *,
+    scale: float | None = None,
+    block_s: int = DEFAULT_BLOCK_S,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Single-token attention over the cache; returns [B, H, 1, d]."""
+    if interpret is None:
+        interpret = default_interpret()
+    B, H, Lq, d = q.shape
+    assert Lq == 1, "flash_decode_attention is the single-token path"
+    S = k_cache.shape[2]
+    if scale is None:
+        scale = float(1.0 / (d ** 0.5))
+
+    block_s = min(block_s, round_up(S, 128))
+    pS = round_up(S, block_s)
+    if pS != S:
+        pad = [(0, 0), (0, 0), (0, pS - S), (0, 0)]
+        k_cache = jnp.pad(k_cache, pad)
+        v_cache = jnp.pad(v_cache, pad)
+        if k_scale is not None:
+            k_scale = jnp.pad(k_scale, pad[:2] + [(0, pS - S), (0, 0)])
+            v_scale = jnp.pad(v_scale, pad[:2] + [(0, pS - S), (0, 0)])
+    num_s = pS // block_s
+
+    quantized = k_scale is not None
+    if not quantized:
+        # dummy 1-wide scale operands keep one kernel signature
+        k_scale = jnp.ones((B, H, 1, 1), jnp.float32)
+        v_scale = k_scale
+
+    lengths = lengths.astype(jnp.int32)
+    # Clamp out-of-range tiles onto the last in-range tile: Pallas skips the
+    # DMA when a block index repeats, so masked tail tiles cost ~nothing.
+    def kv_index(b, h, j, lengths_ref):
+        last = jax.lax.max(
+            (jax.lax.div(jax.lax.max(lengths_ref[b], 1) - 1, block_s)), 0)
+        return (b, h, jax.lax.min(j, last), 0)
+
+    def scale_index(b, h, j, lengths_ref):
+        if quantized:
+            return kv_index(b, h, j, lengths_ref)
+        return (b, h, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, H, num_s),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, d), lambda b, h, j, L: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_s, d), kv_index),
+            pl.BlockSpec((1, 1, block_s if quantized else 1, 1), scale_index),
+            pl.BlockSpec((1, 1, block_s, d), kv_index),
+            pl.BlockSpec((1, 1, block_s if quantized else 1, 1), scale_index),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 1, d), lambda b, h, j, L: (b, h, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.VMEM((1, 1), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, block_s=block_s, num_s=num_s,
+        quantized=quantized)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, q, k_cache, k_scale, v_cache, v_scale)
+    return out

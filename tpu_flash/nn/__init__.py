@@ -9,6 +9,8 @@ from tpu_flash.nn.layers import (  # noqa: F401
     Embedding,
     LayerNorm,
     Linear,
+    quantize_linear_params,
+    quantize_model_linears,
 )
 from tpu_flash.nn.module import (  # noqa: F401
     Module,

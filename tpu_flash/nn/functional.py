@@ -75,3 +75,63 @@ def softmax_loss(logits: jax.Array, target_ids: jax.Array) -> jax.Array:
     picked = jnp.take_along_axis(
         logits, target_ids[..., None].astype(jnp.int32), axis=-1)[..., 0]
     return lse - picked
+
+
+# ---------------------------------------------------------------------------
+# Pooling and convolution (parity with the reference's course tracks:
+# minitorch/nn.py:13-165 tile/avgpool2d/maxpool2d and minitorch/fast_conv.py
+# conv1d/conv2d). On TPU these are thin wrappers over XLA's native
+# reduce_window / conv_general_dilated, which map directly onto the MXU.
+# ---------------------------------------------------------------------------
+
+def tile(x: jax.Array, kernel: tuple[int, int]):
+    """Reshape [B, C, H, W] into [B, C, H/kh, W/kw, kh*kw] tiles
+    (minitorch/nn.py:13-49's layout)."""
+    B, C, H, W = x.shape
+    kh, kw = kernel
+    assert H % kh == 0 and W % kw == 0
+    x = x.reshape(B, C, H // kh, kh, W // kw, kw)
+    x = x.transpose(0, 1, 2, 4, 3, 5).reshape(
+        B, C, H // kh, W // kw, kh * kw)
+    return x, H // kh, W // kw
+
+
+def avgpool2d(x: jax.Array, kernel: tuple[int, int]) -> jax.Array:
+    """[B, C, H, W] average pooling (minitorch/nn.py:52-78)."""
+    t, nh, nw = tile(x, kernel)
+    return jnp.mean(t, axis=-1)
+
+
+def maxpool2d(x: jax.Array, kernel: tuple[int, int]) -> jax.Array:
+    """[B, C, H, W] max pooling (minitorch/nn.py:133-165)."""
+    t, nh, nw = tile(x, kernel)
+    return jnp.max(t, axis=-1)
+
+
+def argmax(x: jax.Array, axis: int = -1) -> jax.Array:
+    """One-hot argmax (minitorch/nn.py:65-80 returns a one-hot tensor)."""
+    return one_hot(jnp.argmax(x, axis=axis),
+                   x.shape[axis]).swapaxes(-1, axis) if axis != -1 else \
+        one_hot(jnp.argmax(x, axis=-1), x.shape[-1])
+
+
+def conv1d(x: jax.Array, weight: jax.Array) -> jax.Array:
+    """'Same-start' 1-D convolution matching minitorch's semantics
+    (fast_conv.py:27-150): input [B, Cin, T], weight [Cout, Cin, K],
+    output [B, Cout, T] where out[..., t] sums over taps t..t+K-1 with
+    zero padding past the end (i.e. cross-correlation, right-padded)."""
+    K = weight.shape[-1]
+    return jax.lax.conv_general_dilated(
+        x, weight, window_strides=(1,), padding=[(0, K - 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"))
+
+
+def conv2d(x: jax.Array, weight: jax.Array) -> jax.Array:
+    """2-D analog of conv1d (fast_conv.py:153-308): input [B, Cin, H, W],
+    weight [Cout, Cin, KH, KW], output [B, Cout, H, W], kernel anchored
+    top-left with zero padding beyond the bottom/right edges."""
+    KH, KW = weight.shape[-2:]
+    return jax.lax.conv_general_dilated(
+        x, weight, window_strides=(1, 1),
+        padding=[(0, KH - 1), (0, KW - 1)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"))

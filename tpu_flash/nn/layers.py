@@ -19,6 +19,7 @@ import math
 import jax
 import jax.numpy as jnp
 
+from tpu_flash.kernels.quant import QuantizedLinearWeights, int8_linear, quantize_weight
 from tpu_flash.nn import functional as F
 from tpu_flash.nn.module import Module, Params
 from tpu_flash.ops import layer_norm as fused_layer_norm
@@ -43,6 +44,11 @@ class Linear(Module):
         return p
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        if "codes" in params:
+            # int8 weight-only serving path (see kernels/quant.py); created
+            # by ``quantize_linear_params`` — dequant fused into the kernel.
+            return int8_linear(x, QuantizedLinearWeights(
+                params["codes"], params["scales"], params.get("bias")))
         y = x @ params["weight"]
         if self.use_bias:
             y = y + params["bias"]
@@ -111,3 +117,28 @@ class LayerNorm(Module):
         var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
         xhat = (x - mean) * jax.lax.rsqrt(var + self.eps)
         return xhat * params["gamma"] + params["beta"]
+
+
+def quantize_linear_params(params: Params) -> Params:
+    """Convert one Linear's params to the int8 weight-only form."""
+    codes, scales = quantize_weight(params["weight"], axis=0)
+    out = {"codes": codes, "scales": scales}
+    if "bias" in params:
+        out["bias"] = params["bias"]
+    return out
+
+
+def quantize_model_linears(params: Params, *, skip=("ln",)) -> Params:
+    """Walk a params tree and quantize every Linear-shaped subtree
+    ({"weight": 2D, ...}) to int8 weight-only form, skipping subtrees whose
+    key contains any of ``skip`` (LayerNorms keep fp params; Embeddings are
+    not Linear-shaped because their weight is consumed by gather)."""
+    def walk(tree, name):
+        if not isinstance(tree, dict):
+            return tree
+        if ("weight" in tree and getattr(tree["weight"], "ndim", 0) == 2
+                and not any(s in name for s in skip)
+                and "embedding" not in name):
+            return quantize_linear_params(tree)
+        return {k: walk(v, f"{name}.{k}") for k, v in tree.items()}
+    return walk(params, "")

@@ -109,14 +109,25 @@ class MultiHeadAttention(Module):
             p = F.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
-    def _cached_attention(self, q, k_full, v_full, cache):
-        """Decode-path attention over the full cache buffer with the cache's
-        dynamic-length causal mask (positions beyond each sequence's length
-        are stale and masked).  Runs the XLA composed graph — lengths are
-        traced values, which the static-shape Pallas kernel cannot consume;
-        the fused quantized-decode kernel replaces this on the hot path."""
+    def _cached_attention(self, q, cache):
+        """Decode-path attention over the cache.
+
+        Single-token steps route through the Pallas flash-decode kernel,
+        which streams the (possibly int8/fp8-quantized) cache codes from HBM
+        with dequant fused in VMEM and takes per-sequence lengths via scalar
+        prefetch (kernels/decode.py).  Multi-token prefill uses the XLA
+        composed graph with the cache's dynamic-length mask.
+        """
+        from tpu_flash.kernels.decode import flash_decode_attention
+        from tpu_flash.parallel.context import current_context
+
         c = self.cfg
+        if q.shape[2] == 1 and current_context() is None:
+            return flash_decode_attention(
+                q, cache.k, cache.v, cache.lengths,
+                cache.k_scale, cache.v_scale)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
+        k_full, v_full = cache.read_k(), cache.read_v()
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_full) * scale
         s = s + cache.attention_mask(q.shape[2])[:, None, :, :].astype(s.dtype)
         p = F.softmax(s, axis=-1)
@@ -131,8 +142,8 @@ class MultiHeadAttention(Module):
         if kv_cache is not None:
             # Incremental decode: append this step's k/v into the cache and
             # attend over the full prefix (new capability vs the reference).
-            k_full, v_full, kv_cache = kv_cache.update(k, v)
-            out = self._cached_attention(q, k_full, v_full, kv_cache)
+            kv_cache = kv_cache.append(k, v)
+            out = self._cached_attention(q, kv_cache)
             out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
             out = self.out_projection(params["out_projection"], out)
             return out, kv_cache
