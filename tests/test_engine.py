@@ -1,0 +1,70 @@
+"""Continuous-batching engine tests: correctness vs the plain batched
+generate path, slot reuse, and mid-flight admission."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_flash import nn
+from tpu_flash.inference import SamplingConfig, generate
+from tpu_flash.inference.engine import DecodeEngine, Request
+
+
+def make_model():
+    cfg = nn.DecoderConfig(n_vocab=64, n_embd=32, n_head=4, n_positions=128,
+                           n_layer=2, p_dropout=0.0, attention_kind="naive")
+    model = nn.DecoderLM(cfg)
+    return model, model.init(jax.random.key(0))
+
+
+def greedy_reference(model, params, prompt, n):
+    ids = list(prompt)
+    for _ in range(n):
+        logits = model(params, jnp.asarray([ids], jnp.int32))
+        ids.append(int(jnp.argmax(logits[0, -1])))
+    return ids[len(prompt):]
+
+
+@pytest.mark.parametrize("kv_quant", ["none"])
+def test_engine_matches_reference_greedy(kv_quant):
+    model, params = make_model()
+    engine = DecodeEngine(
+        model, params, n_slots=2, max_len=64,
+        sampling=SamplingConfig(max_new_tokens=5), kv_quant=kv_quant)
+    prompts = {1: [5, 6, 7], 2: [9, 8, 7, 6], 3: [11, 12]}
+    for uid, p in prompts.items():
+        engine.submit(Request(uid, p))
+    done = engine.run()
+    assert sorted(c.uid for c in done) == [1, 2, 3]
+    for c in done:
+        exp = greedy_reference(model, params, prompts[c.uid], 5)
+        assert c.tokens == exp, (c.uid, c.tokens, exp)
+
+
+def test_engine_slot_reuse_more_requests_than_slots():
+    model, params = make_model()
+    engine = DecodeEngine(
+        model, params, n_slots=2, max_len=64,
+        sampling=SamplingConfig(max_new_tokens=3))
+    for uid in range(6):
+        engine.submit(Request(uid, [3 + uid, 4, 5]))
+    done = engine.run()
+    assert sorted(c.uid for c in done) == list(range(6))
+    for c in done:
+        assert len(c.tokens) <= 3
+        assert c.finished_reason in ("eos", "length")
+
+
+def test_engine_eos_stops_early():
+    model, params = make_model()
+    # make eos the first greedy token of this prompt -> empty completion
+    logits = model(params, jnp.asarray([[3, 4]], jnp.int32))
+    eos = int(jnp.argmax(logits[0, -1]))
+    engine = DecodeEngine(
+        model, params, n_slots=1, max_len=32,
+        sampling=SamplingConfig(max_new_tokens=5, eos_id=eos))
+    engine.submit(Request(0, [3, 4]))
+    done = engine.run()
+    assert done[0].finished_reason == "eos"
+    assert done[0].tokens == []

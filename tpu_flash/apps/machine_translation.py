@@ -57,9 +57,13 @@ def make_train_step(model, opt):
 
 def train_epoch(model, opt, params, opt_state, examples, collate_fn,
                 batch_size, key, *, n_samples=None, max_iters=None,
-                log_every=10):
+                log_every=10, native_loader=None):
     """One training epoch with fwd+bwd+opt fused in a single jitted step;
-    reports tokens/sec like the reference's tqdm postfix."""
+    reports tokens/sec like the reference's tqdm postfix.
+
+    When ``native_loader`` is given (data/native_loader.NativeBatchLoader),
+    batches come from the C++ worker-pool ring buffer — host packing fully
+    overlaps device steps."""
     train_step = make_train_step(model, opt)
     rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
     order = rng.permutation(len(examples))
@@ -72,8 +76,11 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
     for it in range(n_batches):
         if max_iters is not None and it >= max_iters:
             break
-        idx = order[it * batch_size:(it + 1) * batch_size]
-        batch = collate_fn([examples[i] for i in idx])
+        if native_loader is not None:
+            batch = native_loader.next()
+        else:
+            idx = order[it * batch_size:(it + 1) * batch_size]
+            batch = collate_fn([examples[i] for i in idx])
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
@@ -170,6 +177,8 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-bleu", action="store_true")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ background packing loader")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save a checkpoint every N epochs (0 disables)")
     p.add_argument("--resume", action="store_true",
@@ -219,13 +228,27 @@ def main(argv=None):
         except FileNotFoundError:
             print(json.dumps({"resume": "no checkpoint found, cold start"}))
 
+    native_loader = None
+    if args.native_loader:
+        from tpu_flash.data import native_loader as nl
+
+        try:
+            flats = nl.tokenize_corpus(
+                dataset["train"], src_key, tgt_key, tokenizer)
+            native_loader = nl.NativeBatchLoader(
+                *flats, max_len=L, pad_id=tokenizer.vocab["<pad>"],
+                batch_size=batch_size, seed=args.seed, n_threads=2)
+            print(json.dumps({"native_loader": "enabled"}))
+        except nl.NativeUnavailable as e:
+            print(json.dumps({"native_loader": f"unavailable: {e}"}))
+
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, losses, step_times = train_epoch(
             model, opt, params, opt_state, dataset["train"], collate_fn,
             batch_size, ekey, n_samples=args.samples_per_epoch,
-            max_iters=args.max_iters_per_epoch)
+            max_iters=args.max_iters_per_epoch, native_loader=native_loader)
         epoch_time = time.perf_counter() - t0
         val_loss = evaluate_loss(model, params, dataset["validation"],
                                  collate_fn, batch_size)

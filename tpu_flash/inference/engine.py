@@ -1,0 +1,194 @@
+"""Continuous-batching decode engine.
+
+Serving loop over a fixed pool of batch slots: sequences at different stages
+decode together in one jitted step; when a sequence finishes (eos / length),
+its slot is immediately refilled from the pending queue by a prefill that
+scatters the new prompt's KV into that slot — no draining of the whole batch
+between requests.  The reference has nothing comparable (one-by-one full
+re-forward generation, SURVEY.md §3.5); this is the BASELINE.json
+"continuous batching" capability.
+
+Host/device split:
+  * device: one compiled decode step (all slots, KV-cache attention via the
+    flash-decode kernel) and one compiled prefill per prompt-length bucket
+    (prompts are padded to power-of-two buckets to bound compilations);
+  * host: request queue, slot bookkeeping, detokenization — cheap, and
+    overlaps with device execution thanks to async dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_flash.inference.kv_cache import KVCache
+from tpu_flash.inference.sampler import SamplingConfig, _sample_token, make_caches
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    prompt: list[int]
+
+
+@dataclasses.dataclass
+class Completion:
+    uid: int
+    tokens: list[int]
+    finished_reason: str    # "eos" | "length"
+
+
+def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class DecodeEngine:
+    """Fixed-slot continuous batching around a DecoderLM."""
+
+    def __init__(self, model, params, *, n_slots: int, max_len: int,
+                 sampling: SamplingConfig, kv_quant: str = "none",
+                 pad_id: int = 0, seed: int = 0):
+        self.model = model
+        self.params = params
+        self.n_slots = n_slots
+        self.max_len = max_len
+        self.sampling = sampling
+        self.pad_id = pad_id
+        self.key = jax.random.key(seed)
+
+        self.caches = make_caches(model, n_slots, max_len, quant=kv_quant,
+                                  compute_dtype=model.cfg.dtype)
+        self.last_tokens = jnp.zeros((n_slots,), jnp.int32)
+        # host-side bookkeeping
+        self.slot_uid: list[int | None] = [None] * n_slots
+        self.slot_tokens: list[list[int]] = [[] for _ in range(n_slots)]
+        self.slot_budget: list[int] = [0] * n_slots
+        self.queue: list[Request] = []
+        self.completions: list[Completion] = []
+
+        self._decode_step = jax.jit(self._decode_step_impl)
+        self._prefill = {}  # bucket -> jitted fn
+
+    # ------------------------------------------------------------------ API
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(u is not None for u in self.slot_uid)
+
+    def run(self) -> list[Completion]:
+        """Drain the queue; returns all completions."""
+        while self.has_work():
+            self.admit()
+            self.step()
+        out, self.completions = self.completions, []
+        return out
+
+    # ------------------------------------------------------------ internals
+    def _decode_step_impl(self, params, caches, tokens, active, key):
+        """One token for every slot (inactive slots masked)."""
+        positions = caches[0].lengths[:, None]
+        logits, caches = self.model(params, tokens[:, None],
+                                    kv_caches=caches, positions=positions)
+        nxt = _sample_token(logits[:, 0, :], self.sampling, key)
+        nxt = jnp.where(active, nxt, self.pad_id)
+        return nxt, caches
+
+    def _get_prefill(self, bucket: int) -> Callable:
+        if bucket not in self._prefill:
+            def prefill(params, caches, slot_onehot, ids, length):
+                """Run a single prompt (padded to `bucket`) and scatter its
+                per-layer KV into the slot selected by `slot_onehot` [S]."""
+                sub = [KVCache.create(
+                    1, self.model.cfg.n_head, self.max_len,
+                    self.model.cfg.attn_hidden_dim, quant=c.quant,
+                    compute_dtype=c.compute_dtype) for c in caches]
+                positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
+                logits, sub = self.model(params, ids[None, :],
+                                         kv_caches=sub, positions=positions)
+                last = jnp.take_along_axis(
+                    logits, (length - 1)[None, None, None], axis=1)[0, 0]
+
+                def scatter(main, one):
+                    sel = slot_onehot  # [n_slots] bool
+                    def mix(a, b):
+                        if a is None:
+                            return None
+                        shape = (self.n_slots,) + (1,) * (a.ndim - 1)
+                        return jnp.where(sel.reshape(shape), b.astype(a.dtype), a)
+                    return KVCache(
+                        mix(main.k, one.k), mix(main.v, one.v),
+                        mix(main.k_scale, one.k_scale),
+                        mix(main.v_scale, one.v_scale),
+                        jnp.where(sel, length, main.lengths),
+                        main.quant, main.compute_dtype)
+
+                caches = [scatter(m, o) for m, o in zip(caches, sub)]
+                return last, caches
+            self._prefill[bucket] = jax.jit(prefill)
+        return self._prefill[bucket]
+
+    def admit(self) -> None:
+        """Fill free slots from the queue (one prefill per admission)."""
+        for slot in range(self.n_slots):
+            if self.slot_uid[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            prompt = req.prompt[: self.max_len - 1]
+            bucket = min(_bucket(len(prompt)), self.max_len)
+            ids = np.full((bucket,), self.pad_id, np.int32)
+            ids[: len(prompt)] = prompt
+            onehot = np.zeros((self.n_slots,), bool)
+            onehot[slot] = True
+            self.key, sub = jax.random.split(self.key)
+            last_logits, self.caches = self._get_prefill(bucket)(
+                self.params, self.caches, jnp.asarray(onehot),
+                jnp.asarray(ids), jnp.asarray(len(prompt), jnp.int32))
+            first = _sample_token(last_logits[None, :], self.sampling, sub)
+            tok = int(first[0])
+            self.slot_uid[slot] = req.uid
+            self.slot_tokens[slot] = []
+            self.slot_budget[slot] = self.sampling.max_new_tokens
+            self._host_emit(slot, tok)
+
+    def _host_emit(self, slot: int, tok: int) -> None:
+        """Record a generated token; retire the slot on eos/length."""
+        uid = self.slot_uid[slot]
+        if uid is None:
+            return
+        if tok == self.sampling.eos_id:
+            self.completions.append(
+                Completion(uid, self.slot_tokens[slot], "eos"))
+            self.slot_uid[slot] = None
+            return
+        self.slot_tokens[slot].append(tok)
+        self.slot_budget[slot] -= 1
+        self.last_tokens = self.last_tokens.at[slot].set(tok)
+        if (self.slot_budget[slot] <= 0
+                or len(self.slot_tokens[slot])
+                + int(self.caches[0].lengths[slot]) >= self.max_len - 1):
+            self.completions.append(
+                Completion(uid, self.slot_tokens[slot], "length"))
+            self.slot_uid[slot] = None
+
+    def step(self) -> None:
+        """One decode step over all active slots."""
+        active_mask = np.asarray(
+            [u is not None for u in self.slot_uid], bool)
+        if not active_mask.any():
+            return
+        self.key, sub = jax.random.split(self.key)
+        nxt, self.caches = self._decode_step(
+            self.params, self.caches, self.last_tokens,
+            jnp.asarray(active_mask), sub)
+        nxt_host = np.asarray(nxt)
+        for slot in range(self.n_slots):
+            if active_mask[slot]:
+                self._host_emit(slot, int(nxt_host[slot]))
