@@ -4,100 +4,172 @@ TPU-native redesign of the reference CUDA kernels
 (src/flash_attn2_fw.cpp, src/flash_attn2_bw.cpp, src/flash_attn_fw.cpp,
 src/flash_attn_bw.cpp in pdrebello/flash-attention-minitorch):
 
-* Forward — FlashAttention-2 loop order: the grid is
-  ``(batch*heads, q_tiles, kv_tiles)`` with the kv dimension innermost
-  ("arbitrary", i.e. sequential); the online-softmax state (unnormalized
-  output accumulator, running max ``m`` and sum ``l``) lives in VMEM scratch
-  that persists across the kv iterations of one q tile.  The epilogue divides
-  by ``l`` once and emits both the logsumexp (FA2 residual) and the running
-  max (so the FA1-style ``(l, m)`` residual pair is recoverable:
-  ``l = exp(lse - m)``).
+* Forward — FlashAttention-2 loop order: one pass of KV tiles per Q tile with
+  the online-softmax state (unnormalized output accumulator and running max)
+  in VMEM scratch.  The epilogue divides by ``l`` once and emits both the
+  logsumexp (FA2 residual) and the running max (so the FA1-style ``(l, m)``
+  residual pair is recoverable: ``l = exp(lse - m)``).
 
 * Backward — no atomics (the reference accumulates dQ with ``atomicAdd``,
   src/flash_attn2_bw.cpp:228; TPU has none, and doesn't need them): the
-  dK/dV pass runs a grid over kv tiles with the q dimension innermost and
-  accumulates in VMEM scratch; an independent dQ pass runs the transposed
-  grid.  ``P`` is recomputed from the saved logsumexp (``P = exp(S - L)``),
-  and ``D = rowsum(dO * O)`` is precomputed in plain XLA.
+  dK/dV pass runs KV tiles outer with Q inner and accumulates in VMEM
+  scratch; an independent dQ pass runs the transposed order.  ``P`` is
+  recomputed from the saved logsumexp (``P = exp(S - L)``), and
+  ``D = rowsum(dO * O)`` is precomputed in plain XLA.
 
-* Causal block-skip — tiles entirely above the diagonal skip all compute via
-  ``pl.when`` (the analog of the reference's ``-DCAUSAL_BLOCKSPARSE`` whole-
-  tile skip, src/flash_attn_fw.cpp:88-92).
+TPU-specific performance structure (the parts that differ from a CUDA
+translation):
 
-All compute is fp32 on the MXU regardless of input dtype; inputs may be
-bf16.  Sequence lengths that are not multiples of the block size are handled
-by the caller padding to the block size and passing the true ``kv_len`` here,
-which is enforced with an in-kernel additive mask.
+* **Packed tile schedule.**  Instead of a dense rectangular grid with
+  in-kernel skips (the reference's ``-DCAUSAL_BLOCKSPARSE`` whole-tile skip,
+  src/flash_attn_fw.cpp:88-92 — which on TPU would still burn a pipeline
+  step + DMA per dead tile), the live (q_tile, kv_tile) pairs are enumerated
+  at trace time and streamed through a ``PrefetchScalarGridSpec``: the grid
+  is exactly the live tiles, and the prefetched index maps steer the block
+  DMAs.  Causal attention therefore does ~half the grid steps of the dense
+  version, and KV padding tiles are never visited at all.
+
+* **exp2 softmax.**  ``softmax_scale * log2(e)`` is folded into Q once per
+  tile, the online softmax runs in base 2 (the VPU's native exponent), and
+  the epilogue converts the logsumexp back to natural log.
+
+* **``l`` rides the MXU.**  For head dims where ``d+1`` stays within the
+  same 128-lane group, V is augmented with a ones column so the softmax
+  normalizer comes out of the P·V matmul for free (the MXU pass is already
+  half-empty at d=64) instead of a slow cross-lane VPU reduction.
+
+All softmax/accumulation arithmetic is fp32 regardless of input dtype; the
+MXU dots run in the input dtype (bf16 in, fp32 accumulate).  Sequence
+lengths that are not multiples of the block size are handled by padding and
+an in-kernel additive mask over the true ``kv_len``.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.kernels.common import (
     LANES,
     MASK_VALUE,
-    cdiv,
     default_interpret,
     pad_to,
     round_up,
 )
 
-# 512x512 tiles measured fastest on v5e for both fw and bw (d=64/128);
-# smaller sequences clamp to the (8-aligned) sequence length automatically.
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+# Measured on v5e (d=64/128, L=2k-8k, causal+dense): the forward prefers big
+# 1024x1024 tiles (more MXU work per softmax chain), the backward 512x512
+# (seven dots per tile already saturate the MXU; smaller tiles cut the causal
+# diagonal waste).  Smaller sequences clamp to the (8-aligned) length.
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
+DEFAULT_BLOCK_Q_BWD = 512
+DEFAULT_BLOCK_K_BWD = 512
+
+LOG2E = 1.4426950408889634
+# The reference masks by *setting* scores to -1e7 (src/flash_attn_fw.cpp:
+# 152-159); in base-2 score space the same constant is scaled by log2(e).
+MASK2 = MASK_VALUE * LOG2E
+
+_FIRST, _LAST, _MASK, _LIVE = 1, 2, 4, 8
 
 
-def _mask_scores(s, i, j, *, block_q, block_k, causal, kv_len, padded_kv,
-                 q_offset=0):
-    """Apply in-tile causal and kv-padding masks to a [bq, bk] score tile.
+def _dot(a, b, dims):
+    """dot_general with fp32 accumulation and dtype-pinned precision:
+    fp32 operands always contract exactly (parity mode must not degrade to
+    bf16 passes), bf16 operands always run at native bf16 MXU rate — both
+    independent of the ambient ``jax_default_matmul_precision``."""
+    precision = (jax.lax.Precision.HIGHEST if a.dtype == jnp.float32
+                 else jax.lax.Precision.DEFAULT)
+    return jax.lax.dot_general(
+        a, b, (dims, ((), ())),
+        precision=precision, preferred_element_type=jnp.float32)
+
+
+def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
+                   kv_len, kv_outer=False):
+    """Trace-time schedule of (q_tile, kv_tile) visits.
+
+    Returns int32 numpy arrays ``(imap, jmap, flags)`` where flags packs
+    FIRST (reset accumulators), LAST (write outputs), MASK (tile crosses the
+    causal diagonal or the kv-length boundary; informational — masks are
+    applied unconditionally because a lax.cond around the mask measures far
+    slower than the mask itself) and LIVE (tile contributes;
+    dead tiles appear only as forced visits so every output block is written
+    at least once, and their bodies are skipped entirely).
+
+    The schedule is the TPU replacement for both the reference's whole-tile
+    causal skip and its dense grid: dead tiles cost nothing — no grid step,
+    no DMA.
+    """
+    def live(i, j):
+        if j * block_k >= kv_len:
+            return False          # kv padding tile
+        if not causal:
+            return True
+        return j * block_k <= q_offset + (i + 1) * block_q - 1
+
+    def needs_mask(i, j):
+        need = (j + 1) * block_k > kv_len
+        if causal:
+            need = need or ((j + 1) * block_k - 1 > q_offset + i * block_q)
+        return need
+
+    entries = []
+    if kv_outer:
+        for j in range(num_kv):
+            is_ = [i for i in range(num_q) if live(i, j)]
+            forced = not is_
+            if forced:
+                is_ = [num_q - 1]
+            for idx, i in enumerate(is_):
+                f = (_FIRST if idx == 0 else 0) \
+                    | (_LAST if idx == len(is_) - 1 else 0) \
+                    | (0 if forced else _LIVE) \
+                    | (_MASK if (not forced and needs_mask(i, j)) else 0)
+                entries.append((i, j, f))
+    else:
+        for i in range(num_q):
+            js = [j for j in range(num_kv) if live(i, j)]
+            forced = not js
+            if forced:
+                js = [0]
+            for idx, j in enumerate(js):
+                f = (_FIRST if idx == 0 else 0) \
+                    | (_LAST if idx == len(js) - 1 else 0) \
+                    | (0 if forced else _LIVE) \
+                    | (_MASK if (not forced and needs_mask(i, j)) else 0)
+                entries.append((i, j, f))
+    arr = np.asarray(entries, np.int32)
+    return arr[:, 0], arr[:, 1], arr[:, 2]
+
+
+def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset):
+    """Causal / kv-boundary mask on a base-2 score tile.
 
     ``q_offset = true_kv_len - true_q_len`` aligns the causal diagonal
     bottom-right (query i attends keys <= i + offset), matching
     ``ops.reference.causal_mask`` — the convention that makes single-token
     decode (Lq=1 against a long cache) attend the whole prefix.
-
-    VPU masking only runs on tiles that actually need it: interior causal
-    tiles (fully below the diagonal) and interior kv tiles take the untouched
-    fast path through ``lax.cond``.
     """
-    need_col_ids = causal or padded_kv
-    if not need_col_ids:
-        return s
-
-    def apply_mask(s):
-        cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        if causal:
-            rows = q_offset + i * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, s.shape, 0)
-            s = jnp.where(cols <= rows, s, MASK_VALUE)
-        if padded_kv:
-            s = jnp.where(cols < kv_len, s, MASK_VALUE)
-        return s
-
-    # Tile needs masking iff it crosses the diagonal (causal) or contains the
-    # kv padding boundary.
-    need = False
+    cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
     if causal:
-        # last col of tile > smallest row bound in tile
-        need = (j + 1) * block_k - 1 > q_offset + i * block_q
-    if padded_kv:
-        need = jnp.logical_or(need, (j + 1) * block_k > kv_len)
-    return jax.lax.cond(need, apply_mask, lambda s: s, s)
+        rows = q_offset + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, s2.shape, 0)
+        s2 = jnp.where(cols <= rows, s2, MASK2)
+    s2 = jnp.where(cols < kv_len, s2, MASK2)
+    return s2
 
 
-def _causal_block_live(i, j, *, block_q, block_k, q_offset):
-    """False iff kv tile j is entirely above the causal diagonal for q tile i
-    (the whole-tile skip of the reference's -DCAUSAL_BLOCKSPARSE build,
-    src/flash_attn_fw.cpp:88-92)."""
-    return j * block_k <= q_offset + i * block_q + block_q - 1
+def _fold_l(d: int) -> bool:
+    """True when the ones column fits in the same 128-lane group as V, so the
+    softmax normalizer can ride the (otherwise half-empty) P·V MXU pass."""
+    return round_up(d + 1, LANES) == round_up(d, LANES)
 
 
 # ---------------------------------------------------------------------------
@@ -105,70 +177,74 @@ def _causal_block_live(i, j, *, block_q, block_k, q_offset):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
+    imap_ref, jmap_ref, flags_ref,    # prefetched schedule
     q_ref, k_ref, v_ref,              # inputs
     o_ref, lse_ref, m_out_ref,        # outputs
-    acc_ref, m_ref, l_ref,            # VMEM scratch
-    *, scale, causal, block_q, block_k, num_kv, kv_len, padded_kv, q_offset,
+    acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
+    *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
 ):
-    i = pl.program_id(1)
-    j = pl.program_id(2)
+    t = pl.program_id(1)
+    flags = flags_ref[t]
+    fold_l = l_ref is None
 
-    @pl.when(j == 0)
+    @pl.when((flags & _FIRST) != 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        if not fold_l:
+            l_ref[:] = jnp.zeros_like(l_ref)
 
-    # Causal block-skip: whole tile above the diagonal contributes nothing.
-    run = True
-    if causal:
-        run = _causal_block_live(i, j, block_q=block_q, block_k=block_k,
-                                 q_offset=q_offset)
-
-    @pl.when(run)
+    @pl.when((flags & _LIVE) != 0)
     def _body():
-        # Dots run in the input dtype (bf16 inputs hit the MXU at full bf16
-        # rate; fp32 inputs keep fp32 MXU passes for parity) and always
-        # accumulate fp32 via preferred_element_type.
-        q = q_ref[0]                                # [bq, d]
+        # Fold softmax scale and the base-2 conversion into Q: one cheap
+        # [bq, d] multiply instead of per-score work, then bf16 (or input
+        # dtype) dots on the MXU with fp32 accumulation.
+        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
+            q_ref.dtype)                            # [bq, d]
         k = k_ref[0]                                # [bk, d]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                                   # [bq, bk] fp32
-        s = _mask_scores(
-            s, i, j, block_q=block_q, block_k=block_k,
-            causal=causal, kv_len=kv_len, padded_kv=padded_kv,
-            q_offset=q_offset)
+        s2 = _dot(q, k, ((1,), (1,)))               # [bq, bk] base-2 scores
+
+        if causal or padded_kv:
+            s2 = _apply_mask(
+                s2, imap_ref[t], jmap_ref[t], block_q=block_q,
+                block_k=block_k, causal=causal, kv_len=kv_len,
+                q_offset=q_offset)
 
         m_prev = m_ref[:]                           # [bq, 1]
-        l_prev = l_ref[:]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+        m_cur = jnp.max(s2, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)             # rescale of the old state
-        p = jnp.exp(s - m_new)                      # [bq, bk]
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        alpha = jnp.exp2(m_prev - m_new)            # rescale of the old state
+        p = jnp.exp2(s2 - m_new)                    # [bq, bk] fp32
 
         v = v_ref[0]                                # [bk, d]
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                           # [bq, d] fp32
-        acc_ref[:] = acc_ref[:] * alpha + pv
+        pb = p.astype(v.dtype)
+        if fold_l:
+            # Ones column: rowsum(p) comes out of the same MXU pass.
+            v_aug = jnp.concatenate(
+                [v, jnp.ones((v.shape[0], 1), v.dtype)], axis=1)
+            pv = _dot(pb, v_aug, ((1,), (0,)))       # [bq, d+1] fp32
+            acc_ref[:] = acc_ref[:] * alpha + pv
+        else:
+            pv = _dot(pb, v, ((1,), (0,)))           # [bq, d] fp32
+            acc_ref[:] = acc_ref[:] * alpha + pv
+            l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[:] = m_new
-        l_ref[:] = l_new
 
-    @pl.when(j == num_kv - 1)
+    @pl.when((flags & _LAST) != 0)
     def _epilogue():
-        m_fin = m_ref[:]
-        l_fin = l_ref[:]
-        # Fully-masked rows (query padding) have l == 0; guard the division.
+        if fold_l:
+            acc = acc_ref[:]
+            out, l_fin = acc[:, :d], acc[:, d:d + 1]
+        else:
+            out, l_fin = acc_ref[:], l_ref[:]
+        # Never-visited (dead) q tiles have l == 0; guard the division.
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
-        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
-        # lse/m outputs carry a trailing singleton dim so the (1, block_q, 1)
-        # block satisfies Mosaic's tiling rule (last dim == array dim).
-        lse_ref[0] = m_fin + jnp.log(l_safe)        # L = m + log l
-        m_out_ref[0] = m_fin
+        o_ref[0] = (out / l_safe).astype(o_ref.dtype)
+        # Back to natural log for the saved residuals:
+        # lse = m2/log2(e) + ln(l),  m = m2/log2(e).
+        m_nat = m_ref[:] * (1.0 / LOG2E)
+        lse_ref[0] = m_nat + jnp.log(l_safe)
+        m_out_ref[0] = m_nat
 
 
 @functools.partial(
@@ -201,47 +277,63 @@ def flash_attention_forward(
     block_k = min(block_k, round_up(Lk, 8))
     pLq, pLk = round_up(Lq, block_q), round_up(Lk, block_k)
     padded_kv = pLk != Lk
+    q_offset = Lk - Lq
 
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
     kf = pad_to(k.reshape(B * H, Lk, d), 1, pLk)
     vf = pad_to(v.reshape(B * H, Lk, d), 1, pLk)
 
     num_q, num_kv = pLq // block_q, pLk // block_k
-    grid = (B * H, num_q, num_kv)
+    imap, jmap, flags = _tile_schedule(
+        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
+        q_offset=q_offset, kv_len=Lk)
+    fold_l = _fold_l(d)
 
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        num_kv=num_kv, kv_len=Lk, padded_kv=padded_kv, q_offset=Lk - Lq,
+        kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
     )
-    out, lse, m = pl.pallas_call(
-        kernel,
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B * H, len(imap)),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
         ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d + 1 if fold_l else d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ] + ([] if fold_l else [pltpu.VMEM((block_q, 1), jnp.float32)]),
+    )
+
+    def kernel_wrapper(im, jm, fl, q_r, k_r, v_r, o_r, lse_r, m_r, *scratch):
+        if fold_l:
+            acc, m_s = scratch
+            kernel(im, jm, fl, q_r, k_r, v_r, o_r, lse_r, m_r, acc, m_s, None)
+        else:
+            acc, m_s, l_s = scratch
+            kernel(im, jm, fl, q_r, k_r, v_r, o_r, lse_r, m_r, acc, m_s, l_s)
+
+    out, lse, m = pl.pallas_call(
+        kernel_wrapper,
+        grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
             jax.ShapeDtypeStruct((B * H, pLq, 1), jnp.float32),
             jax.ShapeDtypeStruct((B * H, pLq, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags), qf, kf, vf)
 
     out = out[:, :Lq].reshape(B, H, Lq, d)
     lse = lse[:, :Lq, 0].reshape(B, H, Lq)
@@ -254,109 +346,91 @@ def flash_attention_forward(
 # ---------------------------------------------------------------------------
 
 def _bwd_dkv_kernel(
+    imap_ref, jmap_ref, flags_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
-    *, scale, causal, block_q, block_k, num_q, kv_len, padded_kv, q_offset,
+    *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset,
 ):
-    j = pl.program_id(1)   # kv tile (outer)
-    i = pl.program_id(2)   # q tile (inner, sequential)
+    t = pl.program_id(1)
+    flags = flags_ref[t]
 
-    @pl.when(i == 0)
+    @pl.when((flags & _FIRST) != 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    run = True
-    if causal:
-        run = _causal_block_live(i, j, block_q=block_q, block_k=block_k,
-                                 q_offset=q_offset)
-
-    @pl.when(run)
+    @pl.when((flags & _LIVE) != 0)
     def _body():
         q = q_ref[0]                                # [bq, d]
         k = k_ref[0]                                # [bk, d]
         v = v_ref[0]                                # [bk, d]
         do = do_ref[0]                              # [bq, d]
-        lse = lse_ref[0]                            # [bq, 1] fp32
+        lse2 = lse_ref[0] * LOG2E                   # [bq, 1] base-2
         delta = delta_ref[0]                        # [bq, 1] fp32
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = _mask_scores(
-            s, i, j, block_q=block_q, block_k=block_k,
-            causal=causal, kv_len=kv_len, padded_kv=padded_kv,
-            q_offset=q_offset)
-        p = jnp.exp(s - lse)                        # [bq, bk]
+        qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        s2 = _dot(qs, k, ((1,), (1,)))
+        if causal or padded_kv:
+            s2 = _apply_mask(
+                s2, imap_ref[t], jmap_ref[t], block_q=block_q,
+                block_k=block_k, causal=causal, kv_len=kv_len,
+                q_offset=q_offset)
+        p = jnp.exp2(s2 - lse2)                     # [bq, bk]
 
         # dV += P^T dO
-        dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dv_acc[:] += _dot(p.astype(do.dtype), do, ((0,), (0,)))
         # dP = dO V^T ; dS = P (dP - D)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dp = _dot(do, v, ((1,), (1,)))
         ds = p * (dp - delta)
-        # dK += tau dS^T Q
-        dk_acc[:] += scale * jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # dK += dS^T Q  (the tau = scale factor is applied once at the end)
+        dk_acc[:] += _dot(ds.astype(q.dtype), q, ((0,), (0,)))
 
-    @pl.when(i == num_q - 1)
+    @pl.when((flags & _LAST) != 0)
     def _epilogue():
-        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dk_ref[0] = (scale * dk_acc[:]).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
 
 def _bwd_dq_kernel(
+    imap_ref, jmap_ref, flags_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
-    *, scale, causal, block_q, block_k, num_kv, kv_len, padded_kv, q_offset,
+    *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset,
 ):
-    i = pl.program_id(1)   # q tile (outer)
-    j = pl.program_id(2)   # kv tile (inner, sequential)
+    t = pl.program_id(1)
+    flags = flags_ref[t]
 
-    @pl.when(j == 0)
+    @pl.when((flags & _FIRST) != 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    run = True
-    if causal:
-        run = _causal_block_live(i, j, block_q=block_q, block_k=block_k,
-                                 q_offset=q_offset)
-
-    @pl.when(run)
+    @pl.when((flags & _LIVE) != 0)
     def _body():
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
         do = do_ref[0]
-        lse = lse_ref[0]                            # [bq, 1] fp32
+        lse2 = lse_ref[0] * LOG2E                   # [bq, 1] base-2
         delta = delta_ref[0]                        # [bq, 1] fp32
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        s = _mask_scores(
-            s, i, j, block_q=block_q, block_k=block_k,
-            causal=causal, kv_len=kv_len, padded_kv=padded_kv,
-            q_offset=q_offset)
-        p = jnp.exp(s - lse)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+        s2 = _dot(qs, k, ((1,), (1,)))
+        if causal or padded_kv:
+            s2 = _apply_mask(
+                s2, imap_ref[t], jmap_ref[t], block_q=block_q,
+                block_k=block_k, causal=causal, kv_len=kv_len,
+                q_offset=q_offset)
+        p = jnp.exp2(s2 - lse2)
+        dp = _dot(do, v, ((1,), (1,)))
         ds = p * (dp - delta)
-        # dQ += tau dS K
-        dq_acc[:] += scale * jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        # dQ += dS K  (tau applied once at the end)
+        dq_acc[:] += _dot(ds.astype(k.dtype), k, ((1,), (0,)))
 
-    @pl.when(j == num_kv - 1)
+    @pl.when((flags & _LAST) != 0)
     def _epilogue():
-        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+        dq_ref[0] = (scale * dq_acc[:]).astype(dq_ref.dtype)
 
 
 @functools.partial(
@@ -366,11 +440,12 @@ def _bwd_dq_kernel(
 def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
     o: jax.Array, lse: jax.Array, do: jax.Array,
+    dlse: jax.Array | None = None,
     *,
     causal: bool = False,
     scale: float | None = None,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int = DEFAULT_BLOCK_Q_BWD,
+    block_k: int = DEFAULT_BLOCK_K_BWD,
     interpret: bool | None = None,
 ):
     """Flash-attention backward: returns (dq, dk, dv) for [B, H, L, d] inputs.
@@ -378,7 +453,7 @@ def flash_attention_backward(
     Two race-free passes (dK/dV then dQ) replace the reference's atomicAdd
     accumulation (src/flash_attn2_bw.cpp:228).  Works for both the FA1 and
     FA2 residual conventions because ``(1/l)·exp(S-m) == exp(S-lse)`` with
-    ``lse = m + log l``.
+    ``lse = m + log l``.  Both passes run over the packed live-tile schedule.
     """
     if interpret is None:
         interpret = default_interpret()
@@ -391,9 +466,15 @@ def flash_attention_backward(
     block_k = min(block_k, round_up(Lk, 8))
     pLq, pLk = round_up(Lq, block_q), round_up(Lk, block_k)
     padded_kv = pLk != Lk
+    q_offset = Lk - Lq
 
     # D_i = sum_d dO * O — plain XLA, fused into one pass over dO/O.
+    # A cotangent on the logsumexp output folds in exactly here: the lse
+    # contribution to dS is ``p * dlse_i`` and ``ds = p*(dp - (D - dlse))``,
+    # so the kernels run unchanged with a shifted D.
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
 
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
     kf = pad_to(k.reshape(B * H, Lk, d), 1, pLk)
@@ -404,66 +485,86 @@ def flash_attention_backward(
 
     num_q, num_kv = pLq // block_q, pLk // block_k
 
+    kv_imap, kv_jmap, kv_flags = _tile_schedule(
+        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
+        q_offset=q_offset, kv_len=Lk, kv_outer=True)
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        num_q=num_q, kv_len=Lk, padded_kv=padded_kv, q_offset=Lk - Lq,
+        kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset,
+    )
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B * H, len(kv_imap)),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
     )
     dk, dv = pl.pallas_call(
         dkv_kernel,
-        grid=(B * H, num_kv, num_q),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # q
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # k
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),   # v
-            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),   # do
-            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),   # lse
-            pl.BlockSpec((1, block_q, 1), lambda b, j, i: (b, i, 0)),   # delta
-        ],
-        out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
-        ],
+        grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, pLk, d), k.dtype),
             jax.ShapeDtypeStruct((B * H, pLk, d), v.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kf, vf, dof, lsef, deltaf)
+    )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
+      qf, kf, vf, dof, lsef, deltaf)
 
+    q_imap, q_jmap, q_flags = _tile_schedule(
+        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
+        q_offset=q_offset, kv_len=Lk, kv_outer=False)
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        num_kv=num_kv, kv_len=Lk, padded_kv=padded_kv, q_offset=Lk - Lq,
+        kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset,
     )
-    dq = pl.pallas_call(
-        dq_kernel,
-        grid=(B * H, num_q, num_kv),
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B * H, len(q_imap)),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # q
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # k
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),   # v
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),   # do
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),   # lse
-            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0)),   # delta
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
         ],
+    )
+    (dq,) = pl.pallas_call(
+        dq_kernel,
+        grid_spec=dq_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(qf, kf, vf, dof, lsef, deltaf)
+    )(jnp.asarray(q_imap), jnp.asarray(q_jmap), jnp.asarray(q_flags),
+      qf, kf, vf, dof, lsef, deltaf)
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
     dk = dk[:, :Lk].reshape(B, H, Lk, d)

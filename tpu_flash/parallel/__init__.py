@@ -14,6 +14,11 @@ from tpu_flash.parallel.sharding import (  # noqa: F401
     map_with_specs,
     shard_params,
 )
+from tpu_flash.parallel.sequence import (  # noqa: F401
+    allgather_attention,
+    ring_attention,
+    sequence_parallel_attention,
+)
 from tpu_flash.parallel.train import (  # noqa: F401
     init_sharded,
     make_sharded_train_step,
