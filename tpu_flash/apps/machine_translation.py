@@ -109,7 +109,7 @@ def evaluate_loss(model, params, examples, collate_fn, batch_size):
 
 def generate_translations(model, params, examples, src_key, tgt_key,
                           tokenizer, model_max_length, *, batch_size=16,
-                          max_new_tokens=None):
+                          max_new_tokens=None, kv_quant="none"):
     """Batched KV-cache greedy decode for the test set; returns detokenized
     hypotheses aligned with ``examples``."""
     eos_tgt = tokenizer.vocab[f"<eos_{tgt_key}>"]
@@ -132,7 +132,8 @@ def generate_translations(model, params, examples, src_key, tgt_key,
             padded[j, :len(p)] = p
         toks, _ = generate(
             model, params, jnp.asarray(padded), jnp.asarray(lengths),
-            sampling, max_len=Lp + max_new, pad_id=pad_id)
+            sampling, max_len=Lp + max_new, pad_id=pad_id,
+            kv_quant=kv_quant)
         toks = np.asarray(toks)
         for j in range(len(chunk)):
             ids = [int(t) for t in toks[j] if int(t) != pad_id
@@ -177,6 +178,10 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-bleu", action="store_true")
+    p.add_argument("--kv-quant", default="none",
+                   choices=("none", "int8", "fp8"),
+                   help="KV-cache quantization for BLEU generation "
+                        "(BASELINE config 4: MT with FP8 KV)")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ background packing loader")
     p.add_argument("--checkpoint-every", type=int, default=1,
@@ -272,7 +277,8 @@ def main(argv=None):
 
         if not args.skip_bleu:
             hyps = generate_translations(
-                model, params, dataset["test"], src_key, tgt_key, tokenizer, L)
+                model, params, dataset["test"], src_key, tgt_key, tokenizer,
+                L, kv_quant=args.kv_quant)
             scores = evaluate_bleu(dataset["test"], hyps, tgt_key)
             print(json.dumps({"epoch": epoch, **scores}))
             for ex, hyp in list(zip(dataset["test"], hyps))[:3]:

@@ -20,6 +20,11 @@ from tpu_flash.nn.module import (  # noqa: F401
     tree_cast,
 )
 from tpu_flash.nn.optim import adam, clip_by_global_norm, sgd  # noqa: F401
+from tpu_flash.nn.moe import (  # noqa: F401
+    MoEConfig,
+    MoEFeedForward,
+    expert_param_specs,
+)
 from tpu_flash.nn.transformer import (  # noqa: F401
     DecoderConfig,
     DecoderLM,

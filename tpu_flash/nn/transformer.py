@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from tpu_flash.nn import functional as F
 from tpu_flash.nn.layers import Dropout, Embedding, LayerNorm, Linear
 from tpu_flash.nn.module import Module, ModuleList, Params
+from tpu_flash.nn.moe import MoEConfig, MoEFeedForward
 from tpu_flash.ops import attn_softmax, flash_attention
 from tpu_flash.ops.reference import causal_mask
 
@@ -64,6 +65,7 @@ class DecoderConfig:
     # TPU-first extras
     remat: bool = False                           # jax.checkpoint per layer
     embedding_one_hot: bool = False               # reference parity path
+    moe: MoEConfig | None = None                  # routed FFN (expert par.)
 
     @property
     def attn_hidden_dim(self) -> int:
@@ -173,7 +175,11 @@ class TransformerLayer(Module):
         self.ln_1 = LayerNorm(cfg.n_embd, cfg.ln_eps, fused=cfg.use_fused_kernel, dtype=cfg.dtype)
         self.ln_2 = LayerNorm(cfg.n_embd, cfg.ln_eps, fused=cfg.use_fused_kernel, dtype=cfg.dtype)
         self.attention = MultiHeadAttention(cfg)
-        self.ff = FeedForward(cfg)
+        if cfg.moe is not None:
+            self.ff = MoEFeedForward(
+                cfg.n_embd, cfg.ff_middle_dim, cfg.moe, cfg.dtype)
+        else:
+            self.ff = FeedForward(cfg)
 
     def __call__(self, params: Params, x: jax.Array, *,
                  kv_cache=None, kv_mask=None, key=None, training: bool = False):
@@ -188,11 +194,17 @@ class TransformerLayer(Module):
                 params["attention"], h, kv_mask=kv_mask, key=k1,
                 training=training)
         out = x + attn_out
-        out2 = self.ff(params["ff"], self.ln_2(params["ln_2"], out),
-                       key=k2, training=training)
-        result = out + out2
+        ff_out = self.ff(params["ff"], self.ln_2(params["ln_2"], out),
+                         key=k2, training=training)
+        aux = None
+        if self.cfg.moe is not None:
+            ff_out, aux = ff_out
+        result = out + ff_out
+        extras = () if aux is None else (aux,)
         if kv_cache is not None:
-            return result, kv_cache
+            return (result, kv_cache, *extras)
+        if extras:
+            return (result, *extras)
         return result
 
 
@@ -211,11 +223,14 @@ class DecoderLM(Module):
 
     def __call__(self, params: Params, idx: jax.Array, *,
                  kv_caches=None, kv_mask=None, positions=None,
-                 key=None, training: bool = False):
+                 key=None, training: bool = False, return_aux: bool = False):
         """idx [B, L] int32 -> logits [B, L, n_vocab].
 
         ``positions`` overrides the default arange positions (needed for
         incremental decode); ``kv_caches`` is a list of per-layer caches.
+        With an MoE config and ``return_aux=True`` the result also carries
+        the summed router load-balancing loss (add ``moe.aux_weight *
+        aux`` to the training objective).
         """
         B, L = idx.shape
         c = self.cfg
@@ -229,6 +244,8 @@ class DecoderLM(Module):
         x = self.dropout({}, tok + pos, key=keys[0], training=training)
 
         new_caches = [] if kv_caches is not None else None
+        moe = c.moe is not None
+        aux_total = jnp.zeros((), jnp.float32) if moe else None
         for li, layer in enumerate(self.layers):
             lparams = params["layers"][str(li)]
             fn = layer
@@ -236,19 +253,34 @@ class DecoderLM(Module):
                 fn = jax.checkpoint(
                     lambda p, x, _layer=layer, _k=keys[li + 1]: _layer(
                         p, x, kv_mask=kv_mask, key=_k, training=training))
-                x = fn(lparams, x)
+                out = fn(lparams, x)
+                x, *extras = out if moe else (out,)
+                if moe:
+                    aux_total = aux_total + extras[0]
                 continue
             if kv_caches is not None:
-                x, cache = layer(lparams, x, kv_cache=kv_caches[li],
-                                 kv_mask=kv_mask, key=keys[li + 1],
-                                 training=training)
+                # Cache mode always returns (x, cache, *extras); extras is
+                # (aux,) for MoE layers and empty for dense ones.
+                x, cache, *extras = layer(
+                    lparams, x, kv_cache=kv_caches[li], kv_mask=kv_mask,
+                    key=keys[li + 1], training=training)
                 new_caches.append(cache)
+                if moe:
+                    aux_total = aux_total + extras[0]
             else:
-                x = layer(lparams, x, kv_mask=kv_mask, key=keys[li + 1],
-                          training=training)
+                out = layer(lparams, x, kv_mask=kv_mask, key=keys[li + 1],
+                            training=training)
+                if moe:
+                    x, aux = out
+                    aux_total = aux_total + aux
+                else:
+                    x = out
 
         x = self.ln(params["ln"], x)
         logits = self.lm_head(params["lm_head"], x)
+        result = (logits,)
         if kv_caches is not None:
-            return logits, new_caches
-        return logits
+            result = result + (new_caches,)
+        if return_aux:
+            result = result + (aux_total,)
+        return result if len(result) > 1 else result[0]

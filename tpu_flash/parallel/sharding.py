@@ -57,6 +57,16 @@ def decoder_param_specs(model, params) -> Any:
     ax = "model"
 
     def layer_spec():
+        if model.cfg.moe is not None:
+            # Expert parallelism: experts sharded over the model axis
+            # (GSPMD turns the dispatch einsums into all-to-alls).
+            from tpu_flash.nn.moe import expert_param_specs
+            ff = expert_param_specs(ax)
+        else:
+            ff = {
+                "linear_in": _linear_spec(ax, "out"),
+                "linear_out": _linear_spec(ax, "in"),
+            }
         return {
             "ln_1": {"gamma": P(None), "beta": P(None)},
             "ln_2": {"gamma": P(None), "beta": P(None)},
@@ -66,10 +76,7 @@ def decoder_param_specs(model, params) -> Any:
                 "v_projection": _linear_spec(ax, "out"),
                 "out_projection": _linear_spec(ax, "in"),
             },
-            "ff": {
-                "linear_in": _linear_spec(ax, "out"),
-                "linear_out": _linear_spec(ax, "in"),
-            },
+            "ff": ff,
         }
 
     spec = {
