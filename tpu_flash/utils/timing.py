@@ -46,28 +46,31 @@ class BenchResult:
 
 def _chain(args: tuple, out: Any) -> tuple:
     """Fold a runtime near-zero that depends on `out` into the first float
-    array of args, creating a serializing data dependency between iterations.
+    leaf of the args pytree, creating a serializing data dependency between
+    iterations.
 
     The perturbation is ``sum(out) * 1e-30`` — numerically a no-op after
     rounding, but a *runtime* value, so XLA cannot algebraically fold it away
     and dead-code the loop body (which it happily does for a literal
-    ``0.0 * sum(out)``)."""
-    leaves = jax.tree_util.tree_leaves(out)
+    ``0.0 * sum(out)``).
+
+    The perturbed leaf is the first float leaf in flattening order — the same
+    leaf ``_first_float_leaf`` finds — so the final host readback always
+    depends on every iteration (perturbing a *different* leaf than the one
+    read back lets XLA dead-code the whole loop, e.g. for (params_dict, x)
+    argument tuples)."""
     eps = jnp.array(0.0, jnp.float32)
-    for leaf in leaves:
+    for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
             eps = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
             break
-    new_args = []
-    chained = False
-    for a in args:
-        if (not chained and hasattr(a, "dtype")
+    flat, treedef = jax.tree_util.tree_flatten(args)
+    for i, a in enumerate(flat):
+        if (hasattr(a, "dtype")
                 and jnp.issubdtype(a.dtype, jnp.floating)):
-            new_args.append(a + eps.astype(a.dtype))
-            chained = True
-        else:
-            new_args.append(a)
-    return tuple(new_args)
+            flat[i] = a + eps.astype(a.dtype)
+            break
+    return jax.tree_util.tree_unflatten(treedef, flat)
 
 
 def _first_float_leaf(tree):
