@@ -39,8 +39,9 @@ def main():
                 out = attn(q, k, v)
                 return jnp.sum(out.astype(jnp.float32)
                                * do.astype(jnp.float32))
-            dq, dk, dv = jax.grad(loss, (0, 1, 2))(q, k, v)
-            return dq
+            # Return ALL cotangents: dropping any would let XLA dead-code
+            # the kernel that produces it and measure a partial backward.
+            return jax.grad(loss, (0, 1, 2))(q, k, v)
         return f
 
     flops = attention_flops(B, H, L, d, causal=True, fwd_and_bwd=True)

@@ -51,7 +51,7 @@ def main():
         if int8:
             params = quantize_model_linears(params)
         r = benchmark(lambda p, x: layer(p, x), params, x,
-                      iters=256, name=name, repeats=5)
+                      name=name, repeats=5)
         results[name] = r.mean_ms
         print(json.dumps({"metric": f"decoder_block_{name}_ms",
                           "value": round(r.mean_ms, 4), "unit": "ms"}))
@@ -79,8 +79,7 @@ def main():
             o = att.out_projection(attp["out_projection"], q + k + v)
             return ff(ffp, o)
 
-        r = benchmark(proj_ffn, attp, ffp, xd, iters=512,
-                      name=name, repeats=5)
+        r = benchmark(proj_ffn, attp, ffp, xd, name=name, repeats=5)
         results[name] = r.mean_ms
         print(json.dumps({"metric": f"decoder_block_{name}_ms",
                           "value": round(r.mean_ms, 4), "unit": "ms"}))

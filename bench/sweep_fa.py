@@ -21,7 +21,8 @@ def main():
     ap.add_argument("--d", type=int, default=64)
     ap.add_argument("--causal", action="store_true", default=True)
     ap.add_argument("--no-causal", dest="causal", action="store_false")
-    ap.add_argument("--iters", type=int, default=32)
+    ap.add_argument("--iters", type=int, default=0,
+                    help="0 = auto-calibrate to a ~150ms marginal signal")
     args = ap.parse_args()
 
     from tpu_flash.kernels.flash_attention import (
@@ -50,8 +51,8 @@ def main():
         try:
             r = benchmark(
                 lambda q, k, v: flash_attention_forward(
-                    q, k, v, causal=args.causal, block_q=bq, block_k=bk)[0],
-                q, k, v, iters=args.iters, name=f"fw bq={bq} bk={bk}",
+                    q, k, v, causal=args.causal, block_q=bq, block_k=bk),
+                q, k, v, iters=args.iters or None, name=f"fw bq={bq} bk={bk}",
                 flops=fw_flops)
             print(f"{r}   ")
         except Exception as e:  # noqa: BLE001
@@ -66,8 +67,8 @@ def main():
             r = benchmark(
                 lambda q, k, v, o, lse, do: flash_attention_backward(
                     q, k, v, o, lse, do, causal=args.causal,
-                    block_q=bq, block_k=bk)[0],
-                q, k, v, out, lse, do, iters=args.iters,
+                    block_q=bq, block_k=bk),
+                q, k, v, out, lse, do, iters=args.iters or None,
                 name=f"bw bq={bq} bk={bk}", flops=bw_flops)
             print(f"{r}   ")
         except Exception as e:  # noqa: BLE001

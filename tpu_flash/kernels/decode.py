@@ -5,19 +5,29 @@ the north-star decode path: one new query token per sequence attends a long
 cached prefix.  The reference has no decode path at all (its generate()
 re-runs the full prefix per token, SURVEY.md §3.5).
 
-Kernel design:
-  * grid (B, H, S_tiles) with the key tiles innermost (sequential); online
-    softmax state in VMEM scratch exactly like the training forward;
+Kernel design (decode is a *matvec* — bandwidth-bound, so the design is all
+about the memory system, not the MXU):
+
+  * grid (B, S_tiles) with key tiles innermost (sequential); each step
+    streams one [H, block_s, d] tile — ALL heads of a sequence at once, so
+    each DMA is megabytes, not hundreds of KB;
+  * scores and outputs are batched bf16 MXU dots over all heads; an
+    earlier version cast operands to fp32 for the dots, which runs the MXU
+    at fp32 rate (~4x slower) and made the kernel lose to XLA — the bf16
+    cast IS the dequant for int8/fp8 codes, and accumulation stays fp32;
+  * online softmax state ([H, 1] running max/sum, [H, d] accumulator) lives
+    in VMEM scratch across the key tiles of one sequence;
   * per-sequence prefix lengths arrive via scalar prefetch
-    (PrefetchScalarGridSpec) — they are *runtime* values, which the
-    static-shape training kernel cannot take;
-  * tiles entirely beyond a sequence's length are skipped for compute AND
-    for DMA: the index_map clamps out-of-range tile indices to the last
-    in-range tile, and Pallas elides the re-fetch of an unchanged block —
-    so HBM traffic scales with the true prefix length, not the buffer size;
-  * INT8/FP8 KV codes are streamed and dequantized in VMEM against
-    per-position scales — the cache stays quantized in HBM, halving (or
-    quartering) decode's dominant bandwidth cost.
+    (PrefetchScalarGridSpec); tiles entirely beyond a sequence's length are
+    skipped for compute AND for DMA — the index_map clamps out-of-range tile
+    indices to the last in-range tile and Pallas elides the repeat fetch, so
+    HBM traffic scales with the true prefix length, not the buffer size;
+  * INT8/FP8 KV codes are streamed and dequantized against per-position
+    scales folded into the [H, block_s] score/probability rows
+    (``q·(codes*scale) == (q·codes)*scale`` and
+    ``sum_j p_j (v_codes_j*scale_j) == sum_j (p_j*scale_j) v_codes_j``) —
+    the cache stays quantized in HBM, halving/quartering decode's dominant
+    bandwidth cost.
 """
 
 from __future__ import annotations
@@ -31,15 +41,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.kernels.common import (
     MASK_VALUE,
-    cdiv,
     default_interpret,
     round_up,
 )
 
-# Large kv tiles amortize per-tile DMA-issue overhead, which dominates this
-# matvec-shaped kernel (measured on v5e: 512->0.99ms, 1024->0.52ms,
-# 2048->0.25ms for an 8k int8 cache at B=8 H=8 d=64); short caches clamp.
-DEFAULT_BLOCK_S = 2048
+# 1024-key tiles x all heads = 0.5-2 MB DMAs; big enough to stream at full
+# HBM rate, small enough that the fp32 broadcast intermediates fit VMEM.
+DEFAULT_BLOCK_S = 1024
 
 
 def _decode_kernel(
@@ -50,7 +58,7 @@ def _decode_kernel(
     *, scale, block_s, num_s, quantized,
 ):
     b = pl.program_id(0)
-    j = pl.program_id(2)
+    j = pl.program_id(1)
     length = lengths_ref[b]
 
     @pl.when(j == 0)
@@ -61,39 +69,41 @@ def _decode_kernel(
 
     @pl.when(j * block_s < length)
     def _body():
-        q = q_ref[0, 0]                            # [1, d] (padded row dim)
-        k = k_ref[0, 0]                            # [bs, d] codes or values
-        v = v_ref[0, 0]
+        # All intermediates keep the [H, 1, *] layout — Mosaic cannot
+        # relayout middle-singleton squeezes, so nothing is ever reshaped.
+        # Dots run in the query dtype: bf16 queries keep the MXU at native
+        # bf16 rate (an earlier version cast everything to fp32, which runs
+        # the MXU ~4x slower and lost to XLA); fp32 queries keep exact
+        # parity.  For int8/fp8 codes the cast IS the dequant.
+        cd = q_ref.dtype
+        prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        q = q_ref[0]                                # [H, 1, d]
+        k = k_ref[0].astype(cd)                     # [H, bs, d]
+        v = v_ref[0].astype(cd)                     # [H, bs, d]
 
-        # Per-position dequant scales fold into the [1, bs] score /
-        # probability row vectors instead of the [bs, d] tiles:
-        #   q·(codes*scale) == (q·codes)*scale
-        #   sum_j p_j(v_codes_j*scale_j) == sum_j (p_j*scale_j) v_codes_j
-        # — scales live lane-major so this is a cheap vector multiply,
-        # not a per-tile relayout.
         s = jax.lax.dot_general(
-            q.astype(jnp.float32), k.astype(jnp.float32),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [1, bs]
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            precision=prec,
+            preferred_element_type=jnp.float32)     # [H, 1, bs]
         if quantized:
-            # whole scale row lives in VMEM once per (b, h); slice this
-            # tile's span — no per-tile DMA for scales
-            s = s * ks_ref[0, 0, :, pl.ds(j * block_s, block_s)][0]
+            s = s * ks_ref[0, :, :, pl.ds(j * block_s, block_s)]
         s = s * scale
-        pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, MASK_VALUE)
 
-        m_prev, l_prev = m_ref[:], l_ref[:]
+        m_prev, l_prev = m_ref[:], l_ref[:]         # [H, 1, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
+        p = jnp.exp(s - m_new)                      # [H, 1, bs]
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
-            p = p * vs_ref[0, 0, :, pl.ds(j * block_s, block_s)][0]
+            p = p * vs_ref[0, :, :, pl.ds(j * block_s, block_s)]
         pv = jax.lax.dot_general(
-            p, v.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [1, d]
+            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            precision=prec,
+            preferred_element_type=jnp.float32)     # [H, 1, d]
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
 
@@ -101,7 +111,7 @@ def _decode_kernel(
     def _epilogue():
         l_fin = l_ref[:]
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
-        o_ref[0, 0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -129,6 +139,14 @@ def flash_decode_attention(
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
 
+    # Cap the key-tile footprint so double-buffered K+V tiles (plus the
+    # resident scale slabs) stay inside VMEM for any cache dtype: fp32
+    # caches halve the tile, int8/fp8 double it.
+    itemsize = jnp.dtype(k_cache.dtype).itemsize
+    cap = 128
+    while (2 * cap) * 2 * H * d * itemsize <= (1 << 21) and cap < (1 << 20):
+        cap *= 2
+    block_s = min(block_s, cap)
     block_s = min(block_s, round_up(S, 128))
     pS = round_up(S, block_s)
     if pS != S:
@@ -150,33 +168,32 @@ def flash_decode_attention(
     lengths = lengths.astype(jnp.int32)
     # Clamp out-of-range tiles onto the last in-range tile: Pallas skips the
     # DMA when a block index repeats, so masked tail tiles cost ~nothing.
-    def kv_index(b, h, j, lengths_ref):
+    def kv_index(b, j, lengths_ref):
         last = jax.lax.max(
             (jax.lax.div(jax.lax.max(lengths_ref[b], 1) - 1, block_s)), 0)
-        return (b, h, jax.lax.min(j, last), 0)
+        return (b, 0, jax.lax.min(j, last), 0)
 
-    # Scales: the full [1, S] row is resident per (b, h) — constant block
-    # index over the kv loop, so Pallas fetches it once per (b, h) instead
-    # of issuing two extra small DMAs every tile (which measurably
-    # dominated the quantized decode's runtime).
-    def scale_index(b, h, j, lengths_ref):
-        return (b, h, 0, 0)
+    # Scales: the full [H, S] slab is resident per b — constant block index
+    # over the kv loop, so Pallas fetches it once per b instead of issuing
+    # extra small DMAs every tile.
+    def scale_index(b, j, lengths_ref):
+        return (b, 0, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, H, num_s),
+        grid=(B, num_s),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, d), lambda b, h, j, L: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, block_s, d), kv_index),
-            pl.BlockSpec((1, 1, 1, pS if quantized else 1), scale_index),
-            pl.BlockSpec((1, 1, block_s, d), kv_index),
-            pl.BlockSpec((1, 1, 1, pS if quantized else 1), scale_index),
+            pl.BlockSpec((1, H, 1, d), lambda b, j, L: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, block_s, d), kv_index),
+            pl.BlockSpec((1, H, 1, pS if quantized else 1), scale_index),
+            pl.BlockSpec((1, H, block_s, d), kv_index),
+            pl.BlockSpec((1, H, 1, pS if quantized else 1), scale_index),
         ],
-        out_specs=pl.BlockSpec((1, 1, 1, d), lambda b, h, j, L: (b, h, 0, 0)),
+        out_specs=pl.BlockSpec((1, H, 1, d), lambda b, j, L: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((1, d), jnp.float32),
-            pltpu.VMEM((1, 1), jnp.float32),
-            pltpu.VMEM((1, 1), jnp.float32),
+            pltpu.VMEM((H, 1, d), jnp.float32),
+            pltpu.VMEM((H, 1, 1), jnp.float32),
+            pltpu.VMEM((H, 1, 1), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -187,7 +204,7 @@ def flash_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, H, 1, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(lengths, q, k_cache, k_scale, v_cache, v_scale)

@@ -59,11 +59,14 @@ def _chain(args: tuple, out: Any) -> tuple:
     depends on every iteration (perturbing a *different* leaf than the one
     read back lets XLA dead-code the whole loop, e.g. for (params_dict, x)
     argument tuples)."""
+    # Fold in EVERY float output leaf: chaining only one of several outputs
+    # lets XLA dead-code whole sibling computations (e.g. returning just dq
+    # from a (dq, dk, dv) backward silently removed the dK/dV kernel from
+    # the measurement).
     eps = jnp.array(0.0, jnp.float32)
     for leaf in jax.tree_util.tree_leaves(out):
         if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
-            eps = jnp.sum(leaf.astype(jnp.float32)) * 1e-30
-            break
+            eps = eps + jnp.sum(leaf.astype(jnp.float32)) * 1e-30
     flat, treedef = jax.tree_util.tree_flatten(args)
     for i, a in enumerate(flat):
         if (hasattr(a, "dtype")
@@ -103,21 +106,60 @@ def _total_time(f: Callable, args: tuple, iters: int, repeats: int) -> float:
     return best
 
 
+_OVERHEAD: float | None = None
+
+
+def _dispatch_overhead() -> float:
+    """Fixed cost of one jit dispatch + scalar readback (measured once per
+    process; ~tens of ms over a tunneled PJRT link, ~100us local)."""
+    global _OVERHEAD
+    if _OVERHEAD is None:
+        noop = jax.jit(lambda x: x + 1.0)
+        x = jnp.float32(0.0)
+        float(noop(x))  # compile
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(noop(x))
+            best = min(best, time.perf_counter() - t0)
+        _OVERHEAD = best
+    return _OVERHEAD
+
+
 def benchmark(
     f: Callable,
     *args,
-    iters: int = 64,
+    iters: int | None = None,
     warmup: int = 2,       # kept for API compat; _total_time always warms up
     name: str = "fn",
     flops: float | None = None,
     repeats: int = 3,
+    target_ms: float = 150.0,
+    max_iters: int = 16384,
 ) -> BenchResult:
     """Time `f(*args)` by *marginal* cost: run chained loops of iters/4 and
     iters iterations and divide the time difference — this cancels the fixed
-    per-call dispatch/readback overhead (tens of ms over a tunneled link)."""
+    per-call dispatch/readback overhead (tens of ms over a tunneled link).
+
+    ``iters=None`` (default) auto-calibrates: a probe loop estimates the
+    per-iteration cost, then the iteration count is chosen so the marginal
+    signal is ~``target_ms`` — per-call wall noise over the tunnel is
+    +-5-10 ms, so differencing anything much smaller returns garbage
+    (including negative times)."""
     args = tuple(args)
-    lo = max(1, iters // 4)
-    t_lo = _total_time(f, args, lo, repeats)
+    if iters is None:
+        # The lo loop doubles as the calibration probe (remote compiles over
+        # the tunnel cost ~40 s each, so only two loop lengths are compiled).
+        # The fixed dispatch+readback overhead (~tens of ms tunneled) must be
+        # subtracted or tiny ops look huge and get far too few iterations.
+        lo = 16
+        t_lo = _total_time(f, args, lo, repeats)
+        per_est = max((t_lo - _dispatch_overhead()) / lo, 1e-7)
+        iters = int(min(max_iters,
+                        max(4 * lo, (target_ms * 1e-3) / per_est)))
+    else:
+        lo = max(1, iters // 4)
+        t_lo = _total_time(f, args, lo, repeats)
     t_hi = _total_time(f, args, iters, repeats)
     per_iter = max((t_hi - t_lo) / (iters - lo), 1e-9)
     return BenchResult(name=name, mean_ms=per_iter * 1e3, iters=iters,
