@@ -173,3 +173,28 @@ def test_training_dropout_path(rng):
     assert not np.allclose(l1, l2)   # different dropout masks
     assert np.all(np.isfinite(np.asarray(l1)))
     np.testing.assert_array_equal(l3, model(params, ids, training=False))
+
+
+def test_auto_attention_kind_matches_flash_and_naive(rng, monkeypatch):
+    """'auto' dispatches by L*d but must be numerically equivalent to the
+    explicit kinds on both sides of the threshold."""
+    import jax.numpy as jnp
+    from tpu_flash import nn
+    from tpu_flash.nn import transformer as tr
+
+    # Put the threshold between the two L values so both dispatch branches
+    # (naive below, flash at/above) are exercised.
+    monkeypatch.setattr(tr, "_FLASH_AUTO_MIN_LD", 32 * 16)
+    for L in (16, 32):
+        cfg_auto = nn.DecoderConfig(
+            n_vocab=64, n_embd=32, n_head=2, n_positions=64, n_layer=1,
+            p_dropout=0.0, attention_kind="auto")
+        cfg_naive = nn.DecoderConfig(
+            n_vocab=64, n_embd=32, n_head=2, n_positions=64, n_layer=1,
+            p_dropout=0.0, attention_kind="naive")
+        m_auto, m_naive = nn.DecoderLM(cfg_auto), nn.DecoderLM(cfg_naive)
+        params = m_auto.init(jax.random.key(0))
+        ids = jnp.asarray(rng.integers(0, 64, (2, L)), jnp.int32)
+        np.testing.assert_allclose(
+            np.asarray(m_auto(params, ids)),
+            np.asarray(m_naive(params, ids)), atol=1e-5, rtol=1e-5)

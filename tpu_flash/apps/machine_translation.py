@@ -171,7 +171,7 @@ def main(argv=None):
     p.add_argument("--max-iters-per-epoch", type=int, default=None)
     p.add_argument("--samples-per-epoch", type=int, default=20_000)
     p.add_argument("--attention-kind", default="flash",
-                   choices=["flash", "fused", "naive"])
+                   choices=["flash", "fused", "naive", "auto"])
     p.add_argument("--use-fused-kernel", action="store_true")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])

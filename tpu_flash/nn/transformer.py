@@ -41,7 +41,14 @@ from tpu_flash.nn.moe import MoEConfig, MoEFeedForward
 from tpu_flash.ops import attn_softmax, flash_attention
 from tpu_flash.ops.reference import causal_mask
 
-AttentionKind = Literal["flash", "fused", "naive"]
+AttentionKind = Literal["flash", "fused", "naive", "auto"]
+
+# "auto" dispatch: the Pallas flash kernel pays off once the score tile work
+# amortizes its pipeline overheads; below this L*d the XLA naive graph (fully
+# fused by the compiler, scores materialized) is faster on TPU.  Measured
+# crossover on v5e: the reference MT config (L=256, d_head=32) runs ~1.5x
+# faster naive, while L=2048/d=64 runs ~2.8x faster flash.
+_FLASH_AUTO_MIN_LD = 64 * 1024
 
 
 @dataclasses.dataclass
@@ -95,13 +102,18 @@ class MultiHeadAttention(Module):
         return q, k, v
 
     def self_attention(self, q, k, v, *, kv_mask=None):
-        """The three-path attention dispatch (modules_transfomer.py:119-137)."""
+        """The three-path attention dispatch (modules_transfomer.py:119-137),
+        plus "auto" (size-based kernel-vs-XLA choice)."""
         c = self.cfg
-        if c.attention_kind == "flash":
+        kind = c.attention_kind
+        if kind == "auto":
+            L, d = q.shape[-2], q.shape[-1]
+            kind = "flash" if L * d >= _FLASH_AUTO_MIN_LD else "naive"
+        if kind == "flash":
             return flash_attention(q, k, v, causal=c.causal)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-        if c.attention_kind == "fused":
+        if kind == "fused":
             p = attn_softmax(s, kv_mask, mask_future=c.causal)
         else:
             if c.causal:
