@@ -117,3 +117,27 @@ def test_jit_and_grad_composable(rng):
 
     val, grads = jax.value_and_grad(step)(q, k, v)
     assert jnp.isfinite(val)
+
+
+def test_backward_two_pass_fallback_matches_fused(rng, monkeypatch):
+    """Sequences whose dQ scratch would overflow VMEM fall back to the
+    two-pass backward; both paths must agree exactly on the same inputs."""
+    import jax.numpy as jnp
+    from tpu_flash.kernels import flash_attention as fa
+
+    B, H, L, d = 1, 2, 256, 32
+    q, k, v, do = (jnp.asarray(rng.standard_normal((B, H, L, d)),
+                               jnp.float32) for _ in range(4))
+    out, lse, _ = fa.flash_attention_forward(q, k, v, causal=True,
+                                             block_q=128, block_k=128)
+    # the public wrapper is jitted and would serve the cached fused
+    # executable regardless of the budget global: use the unjitted fn
+    raw = fa.flash_attention_backward.__wrapped__
+    fused = raw(q, k, v, out, lse, do, causal=True, block_q=128,
+                block_k=128, interpret=True)
+    monkeypatch.setattr(fa, "_FUSED_DQ_VMEM_BUDGET", 1)  # force two-pass
+    twopass = raw(q, k, v, out, lse, do, causal=True, block_q=128,
+                  block_k=128, interpret=True)
+    for a, b in zip(fused, twopass):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

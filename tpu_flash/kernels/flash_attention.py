@@ -69,7 +69,7 @@ from tpu_flash.kernels.common import (
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 DEFAULT_BLOCK_Q_BWD = 512
-DEFAULT_BLOCK_K_BWD = 512
+DEFAULT_BLOCK_K_BWD = 1024
 
 LOG2E = 1.4426950408889634
 # The reference masks by *setting* scores to -1e7 (src/flash_attn_fw.cpp:
