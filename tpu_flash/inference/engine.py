@@ -107,7 +107,7 @@ class DecodeEngine:
                 """Run a single prompt (padded to `bucket`) and scatter its
                 per-layer KV into the slot selected by `slot_onehot` [S]."""
                 sub = [KVCache.create(
-                    1, self.model.cfg.n_head, self.max_len,
+                    1, self.model.cfg.kv_heads, self.max_len,
                     self.model.cfg.attn_hidden_dim, quant=c.quant,
                     compute_dtype=c.compute_dtype) for c in caches]
                 positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]

@@ -45,7 +45,7 @@ def make_caches(model, batch: int, max_len: int, *, quant: str = "none",
                 compute_dtype=jnp.float32):
     c = model.cfg
     return [
-        KVCache.create(batch, c.n_head, max_len, c.attn_hidden_dim,
+        KVCache.create(batch, c.kv_heads, max_len, c.attn_hidden_dim,
                        quant=quant, compute_dtype=compute_dtype)
         for _ in range(c.n_layer)
     ]

@@ -69,8 +69,11 @@ def _decode_kernel(
 
     @pl.when(j * block_s < length)
     def _body():
-        # All intermediates keep the [H, 1, *] layout — Mosaic cannot
+        # All intermediates keep the [Hkv, g, *] layout — Mosaic cannot
         # relayout middle-singleton squeezes, so nothing is ever reshaped.
+        # g is the query-group size (GQA); for MHA g == 1.  Grouped query
+        # heads become the M dim of the per-KV-head matvec, so GQA also
+        # improves MXU utilization.
         # Dots run in the query dtype: bf16 queries keep the MXU at native
         # bf16 rate (an earlier version cast everything to fp32, which runs
         # the MXU ~4x slower and lost to XLA); fp32 queries keep exact
@@ -78,32 +81,33 @@ def _decode_kernel(
         cd = q_ref.dtype
         prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
                 else jax.lax.Precision.DEFAULT)
-        q = q_ref[0]                                # [H, 1, d]
-        k = k_ref[0].astype(cd)                     # [H, bs, d]
-        v = v_ref[0].astype(cd)                     # [H, bs, d]
+        q = q_ref[0]                                # [Hkv, g, d]
+        k = k_ref[0].astype(cd)                     # [Hkv, bs, d]
+        v = v_ref[0].astype(cd)                     # [Hkv, bs, d]
 
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             precision=prec,
-            preferred_element_type=jnp.float32)     # [H, 1, bs]
+            preferred_element_type=jnp.float32)     # [Hkv, g, bs]
         if quantized:
+            # [Hkv, 1, bs] broadcasts over the group dim
             s = s * ks_ref[0, :, :, pl.ds(j * block_s, block_s)]
         s = s * scale
         pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, MASK_VALUE)
 
-        m_prev, l_prev = m_ref[:], l_ref[:]         # [H, 1, 1]
+        m_prev, l_prev = m_ref[:], l_ref[:]         # [Hkv, g, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                      # [H, 1, bs]
+        p = jnp.exp(s - m_new)                      # [Hkv, g, bs]
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
             p = p * vs_ref[0, :, :, pl.ds(j * block_s, block_s)]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
             precision=prec,
-            preferred_element_type=jnp.float32)     # [H, 1, d]
+            preferred_element_type=jnp.float32)     # [Hkv, g, d]
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
 
@@ -119,7 +123,7 @@ def _decode_kernel(
     static_argnames=("scale", "block_s", "interpret"),
 )
 def flash_decode_attention(
-    q: jax.Array,                 # [B, H, 1, d] new-token queries
+    q: jax.Array,                 # [B, Hq, 1, d] queries (Hq = g * KV heads)
     k_cache: jax.Array,           # [B, H, S, d] fp / int8 / fp8 codes
     v_cache: jax.Array,
     lengths: jax.Array,           # [B] int32 valid prefix lengths
@@ -133,8 +137,10 @@ def flash_decode_attention(
     """Single-token attention over the cache; returns [B, H, 1, d]."""
     if interpret is None:
         interpret = default_interpret()
-    B, H, Lq, d = q.shape
+    B, Hq, Lq, d = q.shape
     assert Lq == 1, "flash_decode_attention is the single-token path"
+    H = k_cache.shape[1]                    # KV heads (GQA: H <= Hq)
+    g = Hq // H
     S = k_cache.shape[2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
@@ -183,17 +189,17 @@ def flash_decode_attention(
         num_scalar_prefetch=1,
         grid=(B, num_s),
         in_specs=[
-            pl.BlockSpec((1, H, 1, d), lambda b, j, L: (b, 0, 0, 0)),
+            pl.BlockSpec((1, H, g, d), lambda b, j, L: (b, 0, 0, 0)),
             pl.BlockSpec((1, H, block_s, d), kv_index),
             pl.BlockSpec((1, H, 1, pS if quantized else 1), scale_index),
             pl.BlockSpec((1, H, block_s, d), kv_index),
             pl.BlockSpec((1, H, 1, pS if quantized else 1), scale_index),
         ],
-        out_specs=pl.BlockSpec((1, H, 1, d), lambda b, j, L: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, H, g, d), lambda b, j, L: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((H, 1, d), jnp.float32),
-            pltpu.VMEM((H, 1, 1), jnp.float32),
-            pltpu.VMEM((H, 1, 1), jnp.float32),
+            pltpu.VMEM((H, g, d), jnp.float32),
+            pltpu.VMEM((H, g, 1), jnp.float32),
+            pltpu.VMEM((H, g, 1), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -202,10 +208,10 @@ def flash_decode_attention(
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, 1, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, g, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q, k_cache, k_scale, v_cache, v_scale)
-    return out
+    )(lengths, q.reshape(B, H, g, d), k_cache, k_scale, v_cache, v_scale)
+    return out.reshape(B, Hq, 1, d)

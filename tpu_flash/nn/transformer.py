@@ -59,6 +59,7 @@ class DecoderConfig:
     n_vocab: int = 10_000
     n_embd: int = 256
     n_head: int = 8
+    n_kv_head: int | None = None                  # GQA/MQA (None = MHA)
     n_positions: int = 1024
     n_layer: int = 4
     ff_middle_dim: int = 256
@@ -78,14 +79,22 @@ class DecoderConfig:
     def attn_hidden_dim(self) -> int:
         return self.n_embd // self.n_head
 
+    @property
+    def kv_heads(self) -> int:
+        """Number of KV heads: grouped-query attention shares each KV head
+        across ``n_head // n_kv_head`` query heads (new capability — the
+        reference is MHA-only); defaults to MHA."""
+        return self.n_kv_head or self.n_head
+
 
 class MultiHeadAttention(Module):
     def __init__(self, cfg: DecoderConfig):
         self.cfg = cfg
         c = cfg
+        kv_dim = c.kv_heads * c.attn_hidden_dim
         self.q_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
-        self.k_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
-        self.v_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
+        self.k_projection = Linear(c.n_embd, kv_dim, c.bias, c.dtype)
+        self.v_projection = Linear(c.n_embd, kv_dim, c.bias, c.dtype)
         self.out_projection = Linear(c.n_embd, c.n_embd, c.bias, c.dtype)
 
     def project_to_query_key_value(self, params, x):
@@ -94,17 +103,24 @@ class MultiHeadAttention(Module):
         [B, H, L, d] uniformly)."""
         B, L, E = x.shape
         c = self.cfg
-        def split(y):
-            return y.reshape(B, L, c.n_head, c.attn_hidden_dim).transpose(0, 2, 1, 3)
-        q = split(self.q_projection(params["q_projection"], x))
-        k = split(self.k_projection(params["k_projection"], x))
-        v = split(self.v_projection(params["v_projection"], x))
+        def split(y, heads):
+            return y.reshape(B, L, heads, c.attn_hidden_dim
+                             ).transpose(0, 2, 1, 3)
+        q = split(self.q_projection(params["q_projection"], x), c.n_head)
+        k = split(self.k_projection(params["k_projection"], x), c.kv_heads)
+        v = split(self.v_projection(params["v_projection"], x), c.kv_heads)
         return q, k, v
 
     def self_attention(self, q, k, v, *, kv_mask=None):
         """The three-path attention dispatch (modules_transfomer.py:119-137),
         plus "auto" (size-based kernel-vs-XLA choice)."""
         c = self.cfg
+        if k.shape[1] != q.shape[1]:
+            # GQA: repeat each KV head across its query group for the full
+            # [B, H, L, d] paths (the decode kernel handles groups natively).
+            g = q.shape[1] // k.shape[1]
+            k = jnp.repeat(k, g, axis=1)
+            v = jnp.repeat(v, g, axis=1)
         kind = c.attention_kind
         if kind == "auto":
             L, d = q.shape[-2], q.shape[-1]
@@ -142,6 +158,10 @@ class MultiHeadAttention(Module):
                 cache.k_scale, cache.v_scale)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
         k_full, v_full = cache.read_k(), cache.read_v()
+        if k_full.shape[1] != q.shape[1]:   # GQA prefill: expand KV groups
+            g = q.shape[1] // k_full.shape[1]
+            k_full = jnp.repeat(k_full, g, axis=1)
+            v_full = jnp.repeat(v_full, g, axis=1)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_full) * scale
         s = s + cache.attention_mask(q.shape[2])[:, None, :, :].astype(s.dtype)
         p = F.softmax(s, axis=-1)
