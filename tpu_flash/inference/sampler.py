@@ -27,6 +27,7 @@ class SamplingConfig:
     max_new_tokens: int = 64
     temperature: float = 0.0        # 0 => greedy argmax
     top_k: int = 0                  # 0 => no top-k filtering
+    top_p: float = 1.0              # <1 => nucleus sampling
     eos_id: int = -1                # stop when generated (-1: never)
 
 
@@ -38,6 +39,16 @@ def _sample_token(logits: jax.Array, cfg: SamplingConfig, key: jax.Array):
     if cfg.top_k > 0:
         kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if cfg.top_p < 1.0:
+        # nucleus: keep the smallest prefix of the sorted distribution whose
+        # mass reaches top_p (the argmax token always survives)
+        sort_idx = jnp.argsort(-logits, axis=-1)
+        sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        keep_sorted = (jnp.cumsum(probs, axis=-1) - probs) < cfg.top_p
+        keep = jnp.zeros_like(keep_sorted).at[
+            jnp.arange(logits.shape[0])[:, None], sort_idx].set(keep_sorted)
+        logits = jnp.where(keep, logits, -jnp.inf)
     return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
 
 

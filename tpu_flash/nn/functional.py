@@ -135,3 +135,24 @@ def conv2d(x: jax.Array, weight: jax.Array) -> jax.Array:
         x, weight, window_strides=(1, 1),
         padding=[(0, KH - 1), (0, KW - 1)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array,
+               base: float = 10_000.0) -> jax.Array:
+    """Rotary position embedding over [B, H, L, d] (new capability — the
+    reference uses learned absolute embeddings only).
+
+    Rotates interleaved-half pairs (x[..., :d/2], x[..., d/2:]) by
+    position-dependent angles; ``positions`` is [B, L] (absolute token
+    positions, so incremental decode passes the cache offset).
+    """
+    B, H, L, d = x.shape
+    half = d // 2
+    freqs = base ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions[:, None, :, None].astype(jnp.float32) * freqs  # B1Lh
+    cos, sin = jnp.cos(angles), jnp.sin(angles)
+    x1, x2 = x[..., :half].astype(jnp.float32), x[..., half:].astype(
+        jnp.float32)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos],
+                          axis=-1)
+    return out.astype(x.dtype)

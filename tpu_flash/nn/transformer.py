@@ -60,6 +60,7 @@ class DecoderConfig:
     n_embd: int = 256
     n_head: int = 8
     n_kv_head: int | None = None                  # GQA/MQA (None = MHA)
+    positional: Literal["learned", "rope", "none"] = "learned"
     n_positions: int = 1024
     n_layer: int = 4
     ff_middle_dim: int = 256
@@ -168,11 +169,17 @@ class MultiHeadAttention(Module):
         return jnp.einsum("bhqk,bhkd->bhqd", p, v_full)
 
     def __call__(self, params: Params, x: jax.Array, *,
-                 kv_cache=None, kv_mask=None,
+                 kv_cache=None, kv_mask=None, positions=None,
                  key=None, training: bool = False):
         B, L, E = x.shape
         c = self.cfg
         q, k, v = self.project_to_query_key_value(params, x)
+        if c.positional == "rope":
+            if positions is None:
+                positions = jnp.broadcast_to(
+                    jnp.arange(L, dtype=jnp.int32)[None, :], (B, L))
+            q = F.apply_rope(q, positions)
+            k = F.apply_rope(k, positions)   # cache stores rotated keys
         if kv_cache is not None:
             # Incremental decode: append this step's k/v into the cache and
             # attend over the full prefix (new capability vs the reference).
@@ -214,17 +221,18 @@ class TransformerLayer(Module):
             self.ff = FeedForward(cfg)
 
     def __call__(self, params: Params, x: jax.Array, *,
-                 kv_cache=None, kv_mask=None, key=None, training: bool = False):
+                 kv_cache=None, kv_mask=None, positions=None,
+                 key=None, training: bool = False):
         k1, k2 = (jax.random.split(key) if key is not None else (None, None))
         h = self.ln_1(params["ln_1"], x)
         if kv_cache is not None:
             attn_out, kv_cache = self.attention(
                 params["attention"], h, kv_cache=kv_cache, kv_mask=kv_mask,
-                key=k1, training=training)
+                positions=positions, key=k1, training=training)
         else:
             attn_out = self.attention(
-                params["attention"], h, kv_mask=kv_mask, key=k1,
-                training=training)
+                params["attention"], h, kv_mask=kv_mask,
+                positions=positions, key=k1, training=training)
         out = x + attn_out
         ff_out = self.ff(params["ff"], self.ln_2(params["ln_2"], out),
                          key=k2, training=training)
@@ -245,8 +253,9 @@ class DecoderLM(Module):
         self.cfg = cfg
         self.token_embeddings = Embedding(
             cfg.n_vocab, cfg.n_embd, cfg.dtype, cfg.embedding_one_hot)
-        self.position_embeddings = Embedding(
-            cfg.n_positions, cfg.n_embd, cfg.dtype, cfg.embedding_one_hot)
+        if cfg.positional == "learned":
+            self.position_embeddings = Embedding(
+                cfg.n_positions, cfg.n_embd, cfg.dtype, cfg.embedding_one_hot)
         self.layers = ModuleList(
             [TransformerLayer(cfg) for _ in range(cfg.n_layer)])
         self.dropout = Dropout(cfg.p_dropout)
@@ -268,12 +277,17 @@ class DecoderLM(Module):
         c = self.cfg
         if positions is None:
             positions = jnp.arange(L, dtype=jnp.int32)[None, :]
+        rope_positions = (jnp.broadcast_to(positions, (B, L))
+                          if c.positional == "rope" else None)
         tok = self.token_embeddings(params["token_embeddings"], idx)
-        pos = self.position_embeddings(params["position_embeddings"], positions)
+        x = tok
+        if c.positional == "learned":
+            x = x + self.position_embeddings(
+                params["position_embeddings"], positions)
         nkeys = c.n_layer + 1
         keys = (jax.random.split(key, nkeys) if key is not None
                 else [None] * nkeys)
-        x = self.dropout({}, tok + pos, key=keys[0], training=training)
+        x = self.dropout({}, x, key=keys[0], training=training)
 
         new_caches = [] if kv_caches is not None else None
         moe = c.moe is not None
@@ -284,7 +298,8 @@ class DecoderLM(Module):
             if c.remat and kv_caches is None:
                 fn = jax.checkpoint(
                     lambda p, x, _layer=layer, _k=keys[li + 1]: _layer(
-                        p, x, kv_mask=kv_mask, key=_k, training=training))
+                        p, x, kv_mask=kv_mask, positions=rope_positions,
+                        key=_k, training=training))
                 out = fn(lparams, x)
                 x, *extras = out if moe else (out,)
                 if moe:
@@ -295,12 +310,14 @@ class DecoderLM(Module):
                 # (aux,) for MoE layers and empty for dense ones.
                 x, cache, *extras = layer(
                     lparams, x, kv_cache=kv_caches[li], kv_mask=kv_mask,
-                    key=keys[li + 1], training=training)
+                    positions=rope_positions, key=keys[li + 1],
+                    training=training)
                 new_caches.append(cache)
                 if moe:
                     aux_total = aux_total + extras[0]
             else:
-                out = layer(lparams, x, kv_mask=kv_mask, key=keys[li + 1],
+                out = layer(lparams, x, kv_mask=kv_mask,
+                            positions=rope_positions, key=keys[li + 1],
                             training=training)
                 if moe:
                     x, aux = out
