@@ -153,10 +153,40 @@ class MultiHeadAttention(Module):
         from tpu_flash.parallel.context import current_context
 
         c = self.cfg
-        if q.shape[2] == 1 and current_context() is None:
-            return flash_decode_attention(
-                q, cache.k, cache.v, cache.lengths,
-                cache.k_scale, cache.v_scale)
+        ctx = current_context()
+        if q.shape[2] == 1:
+            if ctx is None:
+                return flash_decode_attention(
+                    q, cache.k, cache.v, cache.lengths,
+                    cache.k_scale, cache.v_scale)
+            Hkv = cache.k.shape[1]
+            if (q.shape[0] % ctx.data_size == 0
+                    and q.shape[1] % ctx.model_size == 0
+                    and Hkv % ctx.model_size == 0):
+                # Tensor-parallel decode: heads sharded over the model axis,
+                # sequences over data; the kernel runs per-shard inside
+                # shard_map (GSPMD cannot partition a pallas_call), so the
+                # tensor-sharded KV-cache never leaves its chip.
+                from jax.sharding import PartitionSpec as P
+
+                hspec = P(ctx.data_axis, ctx.model_axis, None, None)
+                lspec = P(ctx.data_axis)
+                if cache.k_scale is None:
+                    fn = jax.shard_map(
+                        lambda q, k, v, ln: flash_decode_attention(
+                            q, k, v, ln),
+                        mesh=ctx.mesh,
+                        in_specs=(hspec, hspec, hspec, lspec),
+                        out_specs=hspec, check_vma=False)
+                    return fn(q, cache.k, cache.v, cache.lengths)
+                fn = jax.shard_map(
+                    lambda q, k, v, ln, ks, vs: flash_decode_attention(
+                        q, k, v, ln, ks, vs),
+                    mesh=ctx.mesh,
+                    in_specs=(hspec, hspec, hspec, lspec, hspec, hspec),
+                    out_specs=hspec, check_vma=False)
+                return fn(q, cache.k, cache.v, cache.lengths,
+                          cache.k_scale, cache.v_scale)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
         k_full, v_full = cache.read_k(), cache.read_v()
         if k_full.shape[1] != q.shape[1]:   # GQA prefill: expand KV groups
