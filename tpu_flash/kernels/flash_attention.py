@@ -525,9 +525,13 @@ def _bwd_fused_kernel(
         dq_ref[0] = (scale * dq_acc[:, :d]).astype(dq_ref.dtype)
 
 
-# dQ-in-VMEM scratch is [pLq, d(+1)] fp32 per core; fall back to the
-# two-pass form when a sequence would overflow this budget.
-_FUSED_DQ_VMEM_BUDGET = 6 * 1024 * 1024
+# dQ-in-VMEM scratch is [pLq, d(+1)] fp32 per core, and the fused kernel
+# also holds the full-sequence dQ *output* block (double-buffered bf16/fp32)
+# on top of the usual tiles — so the scratch budget must leave room for
+# roughly 3x itself.  Sequences past this fall back to the two-pass form
+# (measured OOM at L=16k d=64 with a 6MB budget; 2.5MB keeps the fused path
+# to ~L<=9k at d=64 and compiles everywhere).
+_FUSED_DQ_VMEM_BUDGET = int(2.5 * 1024 * 1024)
 
 
 @functools.partial(
