@@ -44,7 +44,7 @@ def main():
         cfg = nn.DecoderConfig(
             n_vocab=10_000, n_embd=cc["n_embd"], n_head=8, n_positions=L,
             n_layer=cc["n_layer"], p_dropout=0.0,
-            attention_kind=kind if kind != "fused" else "fused",
+            attention_kind=kind,
             use_fused_kernel=fused)
         model = nn.DecoderLM(cfg)
         params = model.init(jax.random.key(0))

@@ -141,3 +141,36 @@ def test_backward_two_pass_fallback_matches_fused(rng, monkeypatch):
     for a, b in zip(fused, twopass):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+def test_empty_rows_convention_lq_gt_lk(rng):
+    """Causal attention with Lq > Lk: query rows before the first key have
+    no visible keys.  Convention: out = 0, lse = -inf, zero gradients —
+    identical whether the row falls in a dead tile or a live one (tile
+    alignment must not change semantics)."""
+    import jax.numpy as jnp
+    from tpu_flash.kernels.flash_attention import (
+        flash_attention_backward, flash_attention_forward)
+
+    B, H, d = 1, 2, 16
+    Lq, Lk = 130, 70          # offset = -60: rows 0..59 see nothing
+    q = jnp.asarray(rng.standard_normal((B, H, Lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Lk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Lk, d)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((B, H, Lq, d)), jnp.float32)
+
+    outs = {}
+    for bq, bk in ((128, 128), (64, 64)):   # different tile alignments
+        out, lse, m = flash_attention_forward(
+            q, k, v, causal=True, block_q=bq, block_k=bk)
+        np.testing.assert_array_equal(np.asarray(out[:, :, :60]), 0.0)
+        assert bool(jnp.all(jnp.isneginf(lse[:, :, :60])))
+        assert bool(jnp.all(jnp.isfinite(lse[:, :, 60:])))
+        dq, dk, dv = flash_attention_backward(
+            q, k, v, out, lse, do, causal=True, block_q=bq, block_k=bk)
+        assert bool(jnp.isfinite(dq).all())
+        np.testing.assert_array_equal(np.asarray(dq[:, :, :60]), 0.0)
+        assert bool(jnp.isfinite(dk).all() and jnp.isfinite(dv).all())
+        outs[(bq, bk)] = (np.asarray(out), np.asarray(dq), np.asarray(dk))
+    for a, b in zip(outs[(128, 128)], outs[(64, 64)]):
+        np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)

@@ -95,3 +95,40 @@ def test_pipeline_dropout_runs(rng):
         model, p, i, mesh=mesh, n_micro=2, key=jax.random.key(1),
         training=True, data_axis=None))(params, ids)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_pipeline_rope_matches_plain(rng):
+    cfg = nn.DecoderConfig(
+        n_vocab=128, n_embd=64, n_head=4, n_positions=64, n_layer=2,
+        p_dropout=0.0, attention_kind="flash", positional="rope")
+    model = nn.DecoderLM(cfg)
+    params = model.init(jax.random.key(0))
+    mesh = make_pipeline_mesh(pipe=2, data=1, devices=jax.devices()[:2])
+    ids = jnp.asarray(rng.integers(0, 128, (4, 16)), jnp.int32)
+    out = jax.jit(lambda p, i: pipelined_decoder_apply(
+        model, p, i, mesh=mesh, n_micro=2, data_axis=None))(params, ids)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(model(params, ids)),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_pipeline_moe_matches_plain(rng):
+    cfg = nn.DecoderConfig(
+        n_vocab=128, n_embd=64, n_head=4, n_positions=64, n_layer=2,
+        p_dropout=0.0, attention_kind="flash",
+        moe=nn.MoEConfig(n_experts=4, top_k=1, capacity_factor=4.0))
+    model = nn.DecoderLM(cfg)
+    params = model.init(jax.random.key(0))
+    mesh = make_pipeline_mesh(pipe=2, data=1, devices=jax.devices()[:2])
+    ids = jnp.asarray(rng.integers(0, 128, (4, 16)), jnp.int32)
+
+    out, aux = jax.jit(lambda p, i: pipelined_decoder_apply(
+        model, p, i, mesh=mesh, n_micro=2, data_axis=None,
+        return_aux=True))(params, ids)
+    ref, ref_aux = model(params, ids, return_aux=True)
+    # MoE routing capacity is computed per microbatch (T = B_m*L), but with
+    # a generous capacity_factor nothing is dropped and outputs must match;
+    # aux is the microbatch-averaged router balance, equal in expectation
+    # and here exactly (same tokens, per-microbatch means averaged).
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    assert np.isfinite(float(aux)) and float(aux) > 0

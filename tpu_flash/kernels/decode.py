@@ -140,6 +140,9 @@ def flash_decode_attention(
     B, Hq, Lq, d = q.shape
     assert Lq == 1, "flash_decode_attention is the single-token path"
     H = k_cache.shape[1]                    # KV heads (GQA: H <= Hq)
+    if Hq % H:
+        raise ValueError(
+            f"query heads ({Hq}) must be a multiple of KV heads ({H})")
     g = Hq // H
     S = k_cache.shape[2]
     if scale is None:

@@ -63,9 +63,9 @@ from tpu_flash.kernels.common import (
 )
 
 # Measured on v5e (d=64/128, L=2k-8k, causal+dense): the forward prefers big
-# 1024x1024 tiles (more MXU work per softmax chain), the backward 512x512
-# (seven dots per tile already saturate the MXU; smaller tiles cut the causal
-# diagonal waste).  Smaller sequences clamp to the (8-aligned) length.
+# 1024x1024 tiles (more MXU work per softmax chain), the backward 512x1024
+# (51 vs 47 TFLOP/s against 512x512 after the fused single-pass rework).
+# Smaller sequences clamp to the (8-aligned) length.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
 DEFAULT_BLOCK_Q_BWD = 512
@@ -178,9 +178,8 @@ def _pad_contract(x, d):
     TFLOP/s while K=128 runs at ~154 — padding the contraction with zeros
     costs 2x the macs yet is ~1.5x faster in wall clock.  The concat is a
     handful of vreg copies in VMEM (no HBM traffic)."""
-    import os
     target = round_up(d, LANES)
-    if d == target or os.environ.get("TPU_FLASH_NO_PAD"):
+    if d == target:
         return x
     return jnp.concatenate(
         [x, jnp.zeros((x.shape[0], target - d), x.dtype)], axis=1)
@@ -260,14 +259,24 @@ def _fwd_kernel(
             out, l_fin = acc[:, :d], acc[:, d:d + 1]
         else:
             out, l_fin = acc_ref[:], l_ref[:]
-        # Never-visited (dead) q tiles have l == 0; guard the division.
+        # Empty-attention convention: rows with NO visible keys (every score
+        # masked to MASK2, or the whole q tile dead and never visited) emit
+        # out = 0 and lse = -inf — the same "empty partial" encoding the
+        # sequence-parallel merge uses, and backward treats such rows as
+        # exact zeros.  This intentionally differs from a plain softmax over
+        # -1e7 scores (uniform attention); the reference never supports
+        # these rows at all (it asserts Lq == Lk, cuda_kernel_ops.py:531).
+        # Real scores are |q||k|/sqrt(d)-bounded, orders of magnitude above
+        # the MASK2 threshold.
+        m_fin = m_ref[:]
+        empty = m_fin <= MASK2 + 1.0    # all-masked (== MASK2) or -inf
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
-        o_ref[0] = (out / l_safe).astype(o_ref.dtype)
+        o_ref[0] = jnp.where(empty, 0.0, out / l_safe).astype(o_ref.dtype)
         # Back to natural log for the saved residuals:
         # lse = m2/log2(e) + ln(l),  m = m2/log2(e).
-        m_nat = m_ref[:] * (1.0 / LOG2E)
-        lse_ref[0] = m_nat + jnp.log(l_safe)
-        m_out_ref[0] = m_nat
+        m_nat = m_fin * (1.0 / LOG2E)
+        lse_ref[0] = jnp.where(empty, -jnp.inf, m_nat + jnp.log(l_safe))
+        m_out_ref[0] = jnp.where(empty, -jnp.inf, m_nat)
 
 
 @functools.partial(
@@ -368,6 +377,29 @@ def flash_attention_forward(
 # Backward
 # ---------------------------------------------------------------------------
 
+def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
+              block_k, kv_len, padded_kv, q_offset, d):
+    """Shared backward recompute for one (q, kv) tile pair: returns
+    ``(p, ds)`` — used identically by the fused, dK/dV and dQ kernels so the
+    three cannot drift apart.
+
+    Rows with ``lse = -inf`` (empty attention: no visible keys under the
+    causal mask, see the forward epilogue) contribute exactly zero:
+    ``exp2(s - inf) == 0`` guards what would otherwise be ``exp2(+inf)``.
+    """
+    qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    s2 = _dot(_pad_contract(qs, d), _pad_contract(k, d), ((1,), (1,)))
+    if causal or padded_kv:
+        s2 = _apply_mask(
+            s2, i, j, block_q=block_q, block_k=block_k,
+            causal=causal, kv_len=kv_len, q_offset=q_offset)
+    lse2 = jnp.where(jnp.isneginf(lse), jnp.inf, lse * LOG2E)
+    p = jnp.exp2(s2 - lse2)                         # [bq, bk]
+    dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
+    ds = p * (dp - delta)
+    return p, ds
+
+
 def _bwd_dkv_kernel(
     imap_ref, jmap_ref, flags_ref,
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
@@ -385,28 +417,15 @@ def _bwd_dkv_kernel(
 
     @pl.when((flags & _LIVE) != 0)
     def _body():
-        q = q_ref[0]                                # [bq, d]
-        k = k_ref[0]                                # [bk, d]
-        v = v_ref[0]                                # [bk, d]
-        do = do_ref[0]                              # [bq, d]
-        lse2 = lse_ref[0] * LOG2E                   # [bq, 1] base-2
-        delta = delta_ref[0]                        # [bq, 1] fp32
-
-        qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-        s2 = _dot(_pad_contract(qs, d), _pad_contract(k, d), ((1,), (1,)))
-        if causal or padded_kv:
-            s2 = _apply_mask(
-                s2, imap_ref[t], jmap_ref[t], block_q=block_q,
-                block_k=block_k, causal=causal, kv_len=kv_len,
-                q_offset=q_offset)
-        p = jnp.exp2(s2 - lse2)                     # [bq, bk]
-
+        q, do = q_ref[0], do_ref[0]                 # [bq, d]
+        p, ds = _bwd_p_ds(
+            q, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
+            imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, kv_len=kv_len,
+            padded_kv=padded_kv, q_offset=q_offset, d=d)
         # dV += P^T dO   (ones column: see _ones_col — discarded on store)
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
-        # dP = dO V^T ; dS = P (dP - D)
-        dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
-        ds = p * (dp - delta)
         # dK += dS^T Q  (the tau = scale factor is applied once at the end)
         dk_acc[:] += _dot(ds.astype(q.dtype),
                           _ones_col(q) if aug else q, ((0,), (0,)))
@@ -433,23 +452,12 @@ def _bwd_dq_kernel(
 
     @pl.when((flags & _LIVE) != 0)
     def _body():
-        q = q_ref[0]
         k = k_ref[0]
-        v = v_ref[0]
-        do = do_ref[0]
-        lse2 = lse_ref[0] * LOG2E                   # [bq, 1] base-2
-        delta = delta_ref[0]                        # [bq, 1] fp32
-
-        qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-        s2 = _dot(_pad_contract(qs, d), _pad_contract(k, d), ((1,), (1,)))
-        if causal or padded_kv:
-            s2 = _apply_mask(
-                s2, imap_ref[t], jmap_ref[t], block_q=block_q,
-                block_k=block_k, causal=causal, kv_len=kv_len,
-                q_offset=q_offset)
-        p = jnp.exp2(s2 - lse2)
-        dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
-        ds = p * (dp - delta)
+        _, ds = _bwd_p_ds(
+            q_ref[0], k, v_ref[0], do_ref[0], lse_ref[0], delta_ref[0],
+            imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, kv_len=kv_len,
+            padded_kv=padded_kv, q_offset=q_offset, d=d)
         # dQ += dS K  (tau applied once at the end)
         dq_acc[:] += _dot(ds.astype(k.dtype),
                           _ones_col(k) if aug else k, ((1,), (0,)))
@@ -489,26 +497,14 @@ def _bwd_fused_kernel(
 
     @pl.when((flags & _LIVE) != 0)
     def _body():
-        q = q_ref[0]                                # [bq, d]
-        k = k_ref[0]                                # [bk, d]
-        v = v_ref[0]                                # [bk, d]
-        do = do_ref[0]                              # [bq, d]
-        lse2 = lse_ref[0] * LOG2E                   # [bq, 1] base-2
-        delta = delta_ref[0]                        # [bq, 1] fp32
-
-        qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-        s2 = _dot(_pad_contract(qs, d), _pad_contract(k, d), ((1,), (1,)))
-        if causal or padded_kv:
-            s2 = _apply_mask(
-                s2, imap_ref[t], jmap_ref[t], block_q=block_q,
-                block_k=block_k, causal=causal, kv_len=kv_len,
-                q_offset=q_offset)
-        p = jnp.exp2(s2 - lse2)                     # [bq, bk]
-
+        q, k, do = q_ref[0], k_ref[0], do_ref[0]
+        p, ds = _bwd_p_ds(
+            q, k, v_ref[0], do, lse_ref[0], delta_ref[0],
+            imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
+            block_q=block_q, block_k=block_k, kv_len=kv_len,
+            padded_kv=padded_kv, q_offset=q_offset, d=d)
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
-        dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
-        ds = p * (dp - delta)
         dk_acc[:] += _dot(ds.astype(q.dtype),
                           _ones_col(q) if aug else q, ((0,), (0,)))
         row0 = pl.multiple_of(imap_ref[t] * block_q, block_q)

@@ -48,11 +48,12 @@ class MoEFeedForward(Module):
     """
 
     def __init__(self, n_embd: int, middle_dim: int, moe: MoEConfig,
-                 dtype=jnp.float32):
+                 dtype=jnp.float32, p_dropout: float = 0.0):
         self.n_embd = n_embd
         self.middle_dim = middle_dim
         self.moe = moe
         self.dtype = dtype
+        self.p_dropout = float(p_dropout)
 
     def init(self, key: jax.Array) -> Params:
         E, F, X = self.n_embd, self.middle_dim, self.moe.n_experts
@@ -125,9 +126,12 @@ class MoEFeedForward(Module):
         tokens = x.reshape(T, E)
         logits = tokens.astype(jnp.float32) @ params["router"].astype(
             jnp.float32)
-        if training and self.moe.router_noise > 0.0 and key is not None:
+        k_noise = k_drop = None
+        if key is not None:
+            k_noise, k_drop = jax.random.split(key)
+        if training and self.moe.router_noise > 0.0 and k_noise is not None:
             logits = logits + self.moe.router_noise * jax.random.normal(
-                key, logits.shape, jnp.float32)
+                k_noise, logits.shape, jnp.float32)
         dispatch, combine, aux = self._route(logits, capacity=capacity)
 
         # [X, C, E] expert input buffers — one einsum (MXU), all-to-all
@@ -136,6 +140,10 @@ class MoEFeedForward(Module):
             "txc,te->xce", dispatch.astype(x.dtype), tokens)
         h = jnp.einsum("xce,xef->xcf", expert_in, params["w_in"])
         h = jax.nn.gelu(h + params["b_in"][:, None, :], approximate=True)
+        # same post-GELU dropout as the dense FeedForward it replaces
+        from tpu_flash.nn import functional as F
+        h = F.dropout(h, self.p_dropout, key=k_drop, training=training,
+                      rescale=True)
         expert_out = jnp.einsum("xcf,xfe->xce", h, params["w_out"])
         expert_out = expert_out + params["b_out"][:, None, :]
 

@@ -76,6 +76,16 @@ class DecoderConfig:
     embedding_one_hot: bool = False               # reference parity path
     moe: MoEConfig | None = None                  # routed FFN (expert par.)
 
+    def __post_init__(self):
+        if self.n_embd % self.n_head:
+            raise ValueError(
+                f"n_embd ({self.n_embd}) must divide by n_head "
+                f"({self.n_head})")
+        if self.n_kv_head is not None and self.n_head % self.n_kv_head:
+            raise ValueError(
+                f"n_head ({self.n_head}) must be a multiple of n_kv_head "
+                f"({self.n_kv_head})")
+
     @property
     def attn_hidden_dim(self) -> int:
         return self.n_embd // self.n_head
@@ -246,7 +256,8 @@ class TransformerLayer(Module):
         self.attention = MultiHeadAttention(cfg)
         if cfg.moe is not None:
             self.ff = MoEFeedForward(
-                cfg.n_embd, cfg.ff_middle_dim, cfg.moe, cfg.dtype)
+                cfg.n_embd, cfg.ff_middle_dim, cfg.moe, cfg.dtype,
+                p_dropout=cfg.p_dropout)
         else:
             self.ff = FeedForward(cfg)
 

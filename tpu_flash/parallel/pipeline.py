@@ -58,13 +58,15 @@ def unstack_layer_params(stacked, n_layer: int):
 
 
 def _pipeline_loop(stacked_local, micros, key, *, layer_apply, axis_name,
-                   n_micro, training):
+                   n_micro, training, moe):
     """One device's view of the GPipe schedule.  Runs inside shard_map.
 
     ``stacked_local``: this stage's layers, leaves [layers_per_stage, ...].
     ``micros``: [n_micro, B_m, L, E] microbatched activations (replicated
     over the pipe axis; injected at stage 0).
-    Returns this device's output buffer; only stage S-1's is meaningful.
+    Returns (outs, aux): this device's output buffer (only stage S-1's is
+    meaningful) and the replicated MoE router aux-loss total (0 when not
+    MoE) — warm-up/drain bubble steps are excluded from aux.
     """
     S = jax.lax.axis_size(axis_name)
     s = jax.lax.axis_index(axis_name)
@@ -74,38 +76,49 @@ def _pipeline_loop(stacked_local, micros, key, *, layer_apply, axis_name,
     def stage_fn(x, step_key):
         def body(carry, layer_params_and_idx):
             lp, li = layer_params_and_idx
-            h, k = carry
+            h, k, aux = carry
             lk = None if k is None else jax.random.fold_in(k, li)
             h = layer_apply(lp, h, key=lk, training=training)
-            return (h, k), None
+            if moe:
+                h, layer_aux = h
+                aux = aux + layer_aux
+            return (h, k, aux), None
         n_local = jax.tree_util.tree_leaves(stacked_local)[0].shape[0]
         idxs = jnp.arange(n_local)
-        (x, _), _ = jax.lax.scan(body, (x, step_key),
-                                 (stacked_local, idxs))
-        return x
+        (x, _, aux), _ = jax.lax.scan(
+            body, (x, step_key, jnp.zeros((), jnp.float32)),
+            (stacked_local, idxs))
+        return x, aux
 
     bm_shape = micros.shape[1:]
     recv0 = jnp.zeros(bm_shape, micros.dtype)
     outs0 = jnp.zeros_like(micros)
 
     def step(carry, t):
-        recv, outs = carry
+        recv, outs, aux_tot = carry
         x0 = jax.lax.dynamic_index_in_dim(
             micros, jnp.clip(t, 0, n_micro - 1), 0, keepdims=False)
         x_in = jnp.where(s == 0, x0, recv)
         step_key = (None if key is None
                     else jax.random.fold_in(key, t * S + s))
-        y = stage_fn(x_in, step_key)
+        y, aux = stage_fn(x_in, step_key)
+        # This stage processes microbatch t-s; anything else is bubble.
+        valid = jnp.logical_and(t >= s, t - s < n_micro)
+        aux_tot = aux_tot + jnp.where(valid, aux, 0.0)
         # Stage S-1 collects microbatch t-(S-1).  Early (invalid) steps write
         # warm-up garbage into slot 0, which the first valid step (t = S-1)
         # overwrites; other stages' buffers are discarded by the caller.
         out_idx = jnp.clip(t - (S - 1), 0, n_micro - 1)
         outs = jax.lax.dynamic_update_index_in_dim(outs, y, out_idx, 0)
         recv = jax.lax.ppermute(y, axis_name, perm) if S > 1 else y
-        return (recv, outs), None
+        return (recv, outs, aux_tot), None
 
-    (_, outs), _ = jax.lax.scan(step, (recv0, outs0), jnp.arange(T))
-    return outs
+    (_, outs, aux_tot), _ = jax.lax.scan(
+        step, (recv0, outs0, jnp.zeros((), jnp.float32)), jnp.arange(T))
+    # Every microbatch crosses every stage exactly once; summing the valid
+    # per-stage totals over the pipe axis gives the all-layer aux sum
+    # (averaged over microbatches by the caller).
+    return outs, jax.lax.psum(aux_tot, axis_name)
 
 
 def pipelined_decoder_apply(
@@ -114,6 +127,7 @@ def pipelined_decoder_apply(
     n_micro: int,
     key=None,
     training: bool = False,
+    return_aux: bool = False,
     pipe_axis: str = PIPE_AXIS,
     data_axis: str | None = "data",
 ):
@@ -138,10 +152,15 @@ def pipelined_decoder_apply(
     k_emb, k_pipe = (jax.random.split(key, nkeys) if key is not None
                      else (None, None))
 
-    positions = jnp.arange(L, dtype=jnp.int32)[None, :]
-    tok = model.token_embeddings(params["token_embeddings"], idx)
-    pos = model.position_embeddings(params["position_embeddings"], positions)
-    x = model.dropout({}, tok + pos, key=k_emb, training=training)
+    x = model.token_embeddings(params["token_embeddings"], idx)
+    if c.positional == "learned":
+        positions = jnp.arange(L, dtype=jnp.int32)[None, :]
+        x = x + model.position_embeddings(
+            params["position_embeddings"], positions)
+    # rope: MultiHeadAttention derives arange positions per microbatch
+    # itself (the pipeline splits batch, not sequence, so local arange(L)
+    # positions are the global ones).
+    x = model.dropout({}, x, key=k_emb, training=training)
 
     # [n_micro, B/n_micro, L, E]
     micros = x.reshape(n_micro, B // n_micro, L, c.n_embd)
@@ -154,26 +173,27 @@ def pipelined_decoder_apply(
     layer_apply = lambda lp, h, *, key, training: model.layers[0](
         lp, h, key=key, training=training)
 
+    moe = c.moe is not None
     micro_spec = P(None, data_axis, None, None)
     loop = functools.partial(
         _pipeline_loop, layer_apply=layer_apply, axis_name=pipe_axis,
-        n_micro=n_micro, training=training)
+        n_micro=n_micro, training=training, moe=moe)
 
     # The op wrappers must not try to open their own shard_map while we are
     # already inside one (trace-time switch in ops/attention.py).
-    out_spec = (P(pipe_axis, data_axis, None, None) if data_axis
-                else P(pipe_axis))
+    out_spec = ((P(pipe_axis, data_axis, None, None) if data_axis
+                 else P(pipe_axis)), P())
     prev_ctx = current_context()
     set_parallel_context(None)
     try:
         if k_pipe is None:
-            outs = jax.shard_map(
+            outs, aux = jax.shard_map(
                 lambda sp, mb: loop(sp, mb, None),
                 mesh=mesh, in_specs=(P(pipe_axis), micro_spec),
                 out_specs=out_spec, check_vma=False,
             )(stacked, micros)
         else:
-            outs = jax.shard_map(
+            outs, aux = jax.shard_map(
                 loop, mesh=mesh,
                 in_specs=(P(pipe_axis), micro_spec, P()),
                 out_specs=out_spec, check_vma=False,
@@ -187,4 +207,9 @@ def pipelined_decoder_apply(
     x = outs.reshape(B, L, c.n_embd)
 
     x = model.ln(params["ln"], x)
-    return model.lm_head(params["lm_head"], x)
+    logits = model.lm_head(params["lm_head"], x)
+    if return_aux:
+        # Per-microbatch aux terms are means over B_m tokens; average over
+        # microbatches to match DecoderLM's full-batch aux semantics.
+        return logits, aux / n_micro
+    return logits
