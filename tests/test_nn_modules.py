@@ -162,3 +162,27 @@ def test_clip_by_global_norm():
     np.testing.assert_allclose(float(norm), np.sqrt(180.0), rtol=1e-5)
     total = np.sqrt(sum(float(jnp.sum(jnp.square(v))) for v in clipped.values()))
     np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+
+
+def test_adamw_decoupled_decay_and_schedule(rng):
+    """AdamW decays params directly (not via grads) and honors a schedule."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_flash import nn
+
+    params = {"w": jnp.ones((4,), jnp.float32)}
+    grads = {"w": jnp.zeros((4,), jnp.float32)}
+    opt = nn.adamw(lr=0.1, weight_decay=0.5)
+    state = opt.init(params)
+    new, state = opt.update(grads, state, params)
+    # zero grads: the only change is the decoupled decay lr*wd*p = 0.05
+    np.testing.assert_allclose(np.asarray(new["w"]), 0.95, rtol=1e-6)
+
+    sched = nn.cosine_schedule(peak_lr=1.0, warmup_steps=10, total_steps=100)
+    assert float(sched(jnp.asarray(5))) == pytest.approx(0.5)
+    assert float(sched(jnp.asarray(10))) == pytest.approx(1.0)
+    assert float(sched(jnp.asarray(100))) == pytest.approx(0.0, abs=1e-6)
+    opt = nn.adamw(lr=sched)
+    state = opt.init(params)
+    new, state = opt.update(grads, state, params)
+    assert np.isfinite(np.asarray(new["w"])).all()

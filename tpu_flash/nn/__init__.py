@@ -19,7 +19,13 @@ from tpu_flash.nn.module import (  # noqa: F401
     num_parameters,
     tree_cast,
 )
-from tpu_flash.nn.optim import adam, clip_by_global_norm, sgd  # noqa: F401
+from tpu_flash.nn.optim import (  # noqa: F401
+    adam,
+    adamw,
+    clip_by_global_norm,
+    cosine_schedule,
+    sgd,
+)
 from tpu_flash.nn.moe import (  # noqa: F401
     MoEConfig,
     MoEFeedForward,

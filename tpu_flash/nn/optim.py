@@ -91,3 +91,57 @@ def clip_by_global_norm(grads, max_norm: float):
                         for g in leaves))
     scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
     return jax.tree_util.tree_map(lambda g: g * scale.astype(g.dtype), grads), norm
+
+
+def adamw(
+    lr: float | Callable[[jax.Array], jax.Array] = 1e-3,
+    beta1: float = 0.9,
+    beta2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.01,
+) -> Transform:
+    """AdamW: decoupled weight decay (decay applied to the parameters, not
+    the gradients) — the standard LM-training optimizer; not in the
+    reference.  ``lr`` may be a schedule fn ``step -> learning rate``."""
+
+    def init(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return AdamState(jnp.zeros((), jnp.int32), zeros,
+                         jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        step = state.step + 1
+        lr_t = lr(step) if callable(lr) else lr
+        exp_avg = jax.tree_util.tree_map(
+            lambda m, g: beta1 * m + (1.0 - beta1) * g,
+            state.exp_avg, grads)
+        exp_avg_sq = jax.tree_util.tree_map(
+            lambda v, g: beta2 * v + (1.0 - beta2) * jnp.square(g),
+            state.exp_avg_sq, grads)
+        bc1 = 1.0 - beta1 ** step.astype(jnp.float32)
+        bc2 = 1.0 - beta2 ** step.astype(jnp.float32)
+        step_size = lr_t * jnp.sqrt(bc2) / bc1
+        new_params = jax.tree_util.tree_map(
+            lambda p, m, v: p - step_size * m / (jnp.sqrt(v) + eps)
+            - lr_t * weight_decay * p,
+            params, exp_avg, exp_avg_sq)
+        return new_params, AdamState(step, exp_avg, exp_avg_sq)
+
+    return Transform(init, update)
+
+
+def cosine_schedule(peak_lr: float, warmup_steps: int, total_steps: int,
+                    min_lr: float = 0.0):
+    """Linear warmup to ``peak_lr`` then cosine decay to ``min_lr``."""
+
+    def lr(step):
+        step = step.astype(jnp.float32)
+        warm = peak_lr * step / max(1, warmup_steps)
+        progress = jnp.clip(
+            (step - warmup_steps) / max(1, total_steps - warmup_steps),
+            0.0, 1.0)
+        cos = min_lr + 0.5 * (peak_lr - min_lr) * (
+            1.0 + jnp.cos(jnp.pi * progress))
+        return jnp.where(step < warmup_steps, warm, cos)
+
+    return lr
