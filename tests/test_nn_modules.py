@@ -186,3 +186,25 @@ def test_adamw_decoupled_decay_and_schedule(rng):
     state = opt.init(params)
     new, state = opt.update(grads, state, params)
     assert np.isfinite(np.asarray(new["w"])).all()
+
+
+def test_gradient_accumulation_matches_full_batch(rng):
+    """Accumulated microbatch grads == full-batch grads (mean loss)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_flash import nn
+
+    w = jnp.asarray(rng.standard_normal((4, 3)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((8, 4)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((8, 3)), jnp.float32)
+
+    def loss_fn(params, batch):
+        pred = batch["x"] @ params
+        return jnp.mean((pred - batch["y"]) ** 2)
+
+    full_loss, full_g = jax.value_and_grad(loss_fn)(w, {"x": x, "y": y})
+    micro = {"x": x.reshape(4, 2, 4), "y": y.reshape(4, 2, 3)}
+    acc_loss, acc_g = nn.accumulate_gradients(loss_fn, 4)(w, micro)
+    np.testing.assert_allclose(float(acc_loss), float(full_loss), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(acc_g), np.asarray(full_g),
+                               atol=1e-6, rtol=1e-6)

@@ -20,6 +20,7 @@ from tpu_flash.nn.module import (  # noqa: F401
     tree_cast,
 )
 from tpu_flash.nn.optim import (  # noqa: F401
+    accumulate_gradients,
     adam,
     adamw,
     clip_by_global_norm,

@@ -145,3 +145,28 @@ def cosine_schedule(peak_lr: float, warmup_steps: int, total_steps: int,
         return jnp.where(step < warmup_steps, warm, cos)
 
     return lr
+
+
+def accumulate_gradients(loss_fn, accum_steps: int):
+    """Gradient accumulation: returns ``(params, batch, *args) -> (loss,
+    grads)`` where ``batch`` leaves carry a leading microbatch axis of size
+    ``accum_steps`` and gradients/losses are averaged over it via
+    ``lax.scan`` (activation memory of one microbatch, not the full batch).
+    Not in the reference; standard for large-batch LM training."""
+
+    def compute(params, batch, *args):
+        def body(carry, micro):
+            loss, grads = jax.value_and_grad(loss_fn)(params, micro, *args)
+            acc_loss, acc_grads = carry
+            acc_grads = jax.tree_util.tree_map(
+                lambda a, g: a + g, acc_grads, grads)
+            return (acc_loss + loss, acc_grads), None
+
+        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zero_grads), batch)
+        inv = 1.0 / accum_steps
+        return loss_sum * inv, jax.tree_util.tree_map(
+            lambda g: g * inv, grad_sum)
+
+    return compute
