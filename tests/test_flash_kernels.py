@@ -174,3 +174,48 @@ def test_empty_rows_convention_lq_gt_lk(rng):
         outs[(bq, bk)] = (np.asarray(out), np.asarray(dq), np.asarray(dk))
     for a, b in zip(outs[(128, 128)], outs[(64, 64)]):
         np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+
+def test_int8_kv_attention_fwd_bwd(rng):
+    """Quantized-KV flash attention (int8 codes + per-position scales through
+    both fw and bw) matches the fp path within int8 quantization error, and
+    its saved residuals really are int8."""
+    import jax.numpy as jnp
+    from tpu_flash.ops.attention import (
+        _flash_attention_int8kv_fwd, _quantize_kv, flash_attention)
+
+    B, H, L, d = 1, 2, 128, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+               for _ in range(3))
+    w = jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+
+    out_q = flash_attention(q, k, v, causal=True, kv_quant="int8",
+                            impl="pallas")
+    # oracle: same attention on the explicitly dequantized k/v
+    kc, ks = _quantize_kv(k)
+    vc, vs = _quantize_kv(v)
+    k_dq = kc.astype(jnp.float32) * ks[..., None]
+    v_dq = vc.astype(jnp.float32) * vs[..., None]
+    ref = flash_attention(q, k_dq, v_dq, causal=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+    # vs the unquantized path: only int8 noise apart
+    full = flash_attention(q, k, v, causal=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(full),
+                               atol=5e-2, rtol=5e-2)
+
+    # residuals are int8 codes, not fp tensors
+    _, res = _flash_attention_int8kv_fwd(q, k, v, True)
+    assert res[1].dtype == jnp.int8 and res[3].dtype == jnp.int8
+
+    # gradients: quantized path == fp path on the dequantized k/v (for q),
+    # straight-through for k/v (within quantization noise of fp grads)
+    gq = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=True, kv_quant="int8",
+                        impl="pallas") * w), (0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=True, impl="pallas") * w),
+        (0, 1, 2))(q, k_dq, v_dq)
+    for a, b in zip(gq, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

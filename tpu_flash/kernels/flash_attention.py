@@ -185,6 +185,14 @@ def _pad_contract(x, d):
         [x, jnp.zeros((x.shape[0], target - d), x.dtype)], axis=1)
 
 
+def _dequant_tile(codes, scale_ref, dot_dtype):
+    """Dequantize an int8/fp8 KV tile in VMEM against per-position scales
+    ([bk, 1], broadcast over d) and cast to the dot dtype — the fused-dequant
+    form of BASELINE's INT8-KV FA2: codes stream from HBM at 1/2 (1/4 for
+    fp32 training) the bandwidth and fp values never exist outside VMEM."""
+    return (codes.astype(jnp.float32) * scale_ref[0]).astype(dot_dtype)
+
+
 def _ones_col(x):
     """Append a ones column: an N=64-output MXU dot measures ~67 TFLOP/s on
     v5e but N=65 measures ~117, so dots whose outputs are [*, d=64]
@@ -201,10 +209,11 @@ def _ones_col(x):
 
 def _fwd_kernel(
     imap_ref, jmap_ref, flags_ref,    # prefetched schedule
-    q_ref, k_ref, v_ref,              # inputs
+    q_ref, k_ref, v_ref, ks_ref, vs_ref,   # inputs (scales used if quantized)
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
+    quantized,
 ):
     t = pl.program_id(1)
     flags = flags_ref[t]
@@ -225,7 +234,9 @@ def _fwd_kernel(
         q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
             q_ref.dtype)                            # [bq, d]
         qp = _pad_contract(q, d)                    # [bq, d128]
-        kp = _pad_contract(k_ref[0], d)             # [bk, d128]
+        kt = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
+              else k_ref[0])
+        kp = _pad_contract(kt, d)                   # [bk, d128]
         s2 = _dot(qp, kp, ((1,), (1,)))             # [bq, bk] base-2 scores
 
         if causal or padded_kv:
@@ -240,7 +251,8 @@ def _fwd_kernel(
         alpha = jnp.exp2(m_prev - m_new)            # rescale of the old state
         p = jnp.exp2(s2 - m_new)                    # [bq, bk] fp32
 
-        v = v_ref[0]                                # [bk, d]
+        v = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
+             else v_ref[0])                         # [bk, d]
         pb = p.astype(v.dtype)
         if fold_l:
             # Ones column: rowsum(p) comes out of the same MXU pass.
@@ -285,6 +297,8 @@ def _fwd_kernel(
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
     *,
     causal: bool = False,
     scale: float | None = None,
@@ -294,7 +308,12 @@ def flash_attention_forward(
 ):
     """Flash-attention forward over [B, H, L, d] inputs.
 
-    Returns ``(out, lse, m)`` with ``out`` in the input dtype and
+    ``k``/``v`` may be int8 (or fp8) codes with per-position fp32 scales
+    ``k_scale``/``v_scale`` of shape [B, H, Lk] — the quantized-KV training
+    form: codes stream from HBM at reduced bandwidth and are dequantized
+    against their scales in VMEM (see ``_dequant_tile``).
+
+    Returns ``(out, lse, m)`` with ``out`` in the query dtype and
     ``lse``/``m`` fp32 of shape [B, H, L]: the FA2 residual (logsumexp) plus
     the running max so callers can reconstruct the FA1 ``(l, m)`` pair.
     """
@@ -304,6 +323,7 @@ def flash_attention_forward(
     Lk = k.shape[-2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
+    quantized = k_scale is not None
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
@@ -314,6 +334,15 @@ def flash_attention_forward(
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
     kf = pad_to(k.reshape(B * H, Lk, d), 1, pLk)
     vf = pad_to(v.reshape(B * H, Lk, d), 1, pLk)
+    if quantized:
+        ksf = pad_to(k_scale.reshape(B * H, Lk, 1), 1, pLk)
+        vsf = pad_to(v_scale.reshape(B * H, Lk, 1), 1, pLk)
+        scale_block = (1, block_k, 1)
+        scale_index = lambda b, t, im, jm, fl: (b, jm[t], 0)
+    else:
+        ksf = vsf = jnp.ones((B * H, 1, 1), jnp.float32)
+        scale_block = (1, 1, 1)
+        scale_index = lambda b, t, im, jm, fl: (b, 0, 0)
 
     num_q, num_kv = pLq // block_q, pLk // block_k
     imap, jmap, flags = _tile_schedule(
@@ -325,6 +354,7 @@ def flash_attention_forward(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
+        quantized=quantized,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -333,6 +363,8 @@ def flash_attention_forward(
             pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
             pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
             pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec(scale_block, scale_index),
+            pl.BlockSpec(scale_block, scale_index),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
@@ -345,13 +377,16 @@ def flash_attention_forward(
         ] + ([] if fold_l else [pltpu.VMEM((block_q, 1), jnp.float32)]),
     )
 
-    def kernel_wrapper(im, jm, fl, q_r, k_r, v_r, o_r, lse_r, m_r, *scratch):
+    def kernel_wrapper(im, jm, fl, q_r, k_r, v_r, ks_r, vs_r,
+                       o_r, lse_r, m_r, *scratch):
         if fold_l:
             acc, m_s = scratch
-            kernel(im, jm, fl, q_r, k_r, v_r, o_r, lse_r, m_r, acc, m_s, None)
+            kernel(im, jm, fl, q_r, k_r, v_r, ks_r, vs_r,
+                   o_r, lse_r, m_r, acc, m_s, None)
         else:
             acc, m_s, l_s = scratch
-            kernel(im, jm, fl, q_r, k_r, v_r, o_r, lse_r, m_r, acc, m_s, l_s)
+            kernel(im, jm, fl, q_r, k_r, v_r, ks_r, vs_r,
+                   o_r, lse_r, m_r, acc, m_s, l_s)
 
     out, lse, m = pl.pallas_call(
         kernel_wrapper,
@@ -365,7 +400,8 @@ def flash_attention_forward(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags), qf, kf, vf)
+    )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags),
+      qf, kf, vf, ksf, vsf)
 
     out = out[:, :Lq].reshape(B, H, Lq, d)
     lse = lse[:, :Lq, 0].reshape(B, H, Lq)
@@ -402,10 +438,11 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
 
 def _bwd_dkv_kernel(
     imap_ref, jmap_ref, flags_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
+    quantized,
 ):
     t = pl.program_id(1)
     flags = flags_ref[t]
@@ -418,8 +455,12 @@ def _bwd_dkv_kernel(
     @pl.when((flags & _LIVE) != 0)
     def _body():
         q, do = q_ref[0], do_ref[0]                 # [bq, d]
+        kt = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
+              else k_ref[0])
+        vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
+              else v_ref[0])
         p, ds = _bwd_p_ds(
-            q, k_ref[0], v_ref[0], do, lse_ref[0], delta_ref[0],
+            q, kt, vt, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d)
@@ -438,10 +479,11 @@ def _bwd_dkv_kernel(
 
 def _bwd_dq_kernel(
     imap_ref, jmap_ref, flags_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
+    quantized,
 ):
     t = pl.program_id(1)
     flags = flags_ref[t]
@@ -452,9 +494,12 @@ def _bwd_dq_kernel(
 
     @pl.when((flags & _LIVE) != 0)
     def _body():
-        k = k_ref[0]
+        k = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
+             else k_ref[0])
+        vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
+              else v_ref[0])
         _, ds = _bwd_p_ds(
-            q_ref[0], k, v_ref[0], do_ref[0], lse_ref[0], delta_ref[0],
+            q_ref[0], k, vt, do_ref[0], lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d)
@@ -469,11 +514,11 @@ def _bwd_dq_kernel(
 
 def _bwd_fused_kernel(
     imap_ref, jmap_ref, flags_ref,
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps,
+    n_steps, quantized,
 ):
     """Single-pass backward: dK/dV accumulate per KV tile as in
     ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
@@ -497,9 +542,13 @@ def _bwd_fused_kernel(
 
     @pl.when((flags & _LIVE) != 0)
     def _body():
-        q, k, do = q_ref[0], k_ref[0], do_ref[0]
+        q, do = q_ref[0], do_ref[0]
+        k = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
+             else k_ref[0])
+        vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
+              else v_ref[0])
         p, ds = _bwd_p_ds(
-            q, k, v_ref[0], do, lse_ref[0], delta_ref[0],
+            q, k, vt, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d)
@@ -538,6 +587,8 @@ def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
     o: jax.Array, lse: jax.Array, do: jax.Array,
     dlse: jax.Array | None = None,
+    k_scale: jax.Array | None = None,
+    v_scale: jax.Array | None = None,
     *,
     causal: bool = False,
     scale: float | None = None,
@@ -583,6 +634,18 @@ def flash_attention_backward(
     dof = pad_to(do.reshape(B * H, Lq, d), 1, pLq)
     lsef = pad_to(lse.reshape(B * H, Lq, 1), 1, pLq)
     deltaf = pad_to(delta.reshape(B * H, Lq, 1), 1, pLq)
+    quantized = k_scale is not None
+    if quantized:
+        ksf = pad_to(k_scale.reshape(B * H, Lk, 1), 1, pLk)
+        vsf = pad_to(v_scale.reshape(B * H, Lk, 1), 1, pLk)
+        scale_block = (1, block_k, 1)
+        scale_index = lambda b, t, im, jm, fl: (b, jm[t], 0)
+    else:
+        ksf = vsf = jnp.ones((B * H, 1, 1), jnp.float32)
+        scale_block = (1, 1, 1)
+        scale_index = lambda b, t, im, jm, fl: (b, 0, 0)
+    # gradients are w.r.t. the (dequantized) fp values
+    grad_dtype = q.dtype
 
     num_q, num_kv = pLq // block_q, pLk // block_k
 
@@ -597,6 +660,8 @@ def flash_attention_backward(
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
         pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
         pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+        pl.BlockSpec(scale_block, scale_index),
+        pl.BlockSpec(scale_block, scale_index),
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
         pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
         pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
@@ -611,7 +676,7 @@ def flash_attention_backward(
             _bwd_fused_kernel,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-            n_steps=len(kv_imap),
+            n_steps=len(kv_imap), quantized=quantized,
         )
         fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -630,8 +695,8 @@ def flash_attention_backward(
             fused_kernel,
             grid_spec=fused_spec,
             out_shape=[
-                jax.ShapeDtypeStruct((B * H, pLk, d), k.dtype),
-                jax.ShapeDtypeStruct((B * H, pLk, d), v.dtype),
+                jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
+                jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
                 jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
             ],
             compiler_params=pltpu.CompilerParams(
@@ -639,7 +704,7 @@ def flash_attention_backward(
             ),
             interpret=interpret,
         )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-          qf, kf, vf, dof, lsef, deltaf)
+          qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
         dq = dq[:, :Lq].reshape(B, H, Lq, d)
         dk = dk[:, :Lk].reshape(B, H, Lk, d)
         dv = dv[:, :Lk].reshape(B, H, Lk, d)
@@ -649,6 +714,7 @@ def flash_attention_backward(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
+        quantized=quantized,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -664,15 +730,15 @@ def flash_attention_backward(
         dkv_kernel,
         grid_spec=dkv_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((B * H, pLk, d), k.dtype),
-            jax.ShapeDtypeStruct((B * H, pLk, d), v.dtype),
+            jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
+            jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-      qf, kf, vf, dof, lsef, deltaf)
+      qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
 
     q_imap, q_jmap, q_flags = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
@@ -681,18 +747,12 @@ def flash_attention_backward(
         _bwd_dq_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
+        quantized=quantized,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B * H, len(q_imap)),
-        in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
-            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
-        ],
+        in_specs=common_in_specs,
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
         ],
@@ -711,7 +771,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(q_imap), jnp.asarray(q_jmap), jnp.asarray(q_flags),
-      qf, kf, vf, dof, lsef, deltaf)
+      qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
     dk = dk[:, :Lk].reshape(B, H, Lk, d)

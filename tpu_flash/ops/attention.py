@@ -33,6 +33,48 @@ from tpu_flash.ops import reference as ref
 from tpu_flash.ops.registry import resolve_impl
 
 
+def _quantize_kv(x):
+    """Per-(batch, head, position) symmetric int8 quantization over head_dim
+    (the same scheme as the inference KV-cache, inference/kv_cache.py)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
+    scales = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+    codes = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scales[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return codes, scales.astype(jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_int8kv(q, k, v, causal):
+    out, _ = _flash_attention_int8kv_fwd(q, k, v, causal)
+    return out
+
+
+def _flash_attention_int8kv_fwd(q, k, v, causal):
+    """Quantized-KV flash attention (BASELINE's INT8-KV FA2 fw+bw): K/V are
+    quantized to int8 codes + per-position scales, BOTH the forward and the
+    backward recompute consume the codes (dequant fused in VMEM,
+    kernels/flash_attention._dequant_tile), and the saved residuals hold the
+    int8 codes — halving (bf16) or quartering (fp32) the attention
+    residual memory for long-context training.  Gradients for k/v are
+    straight-through (w.r.t. the dequantized values)."""
+    kc, ks = _quantize_kv(k)
+    vc, vs = _quantize_kv(v)
+    out, lse, _ = flash_attention_forward(q, kc, vc, ks, vs, causal=causal)
+    return out, (q, kc, ks, vc, vs, out, lse)
+
+
+def _flash_attention_int8kv_bwd(causal, res, do):
+    q, kc, ks, vc, vs, out, lse = res
+    dq, dk, dv = flash_attention_backward(
+        q, kc, vc, out, lse, do, None, ks, vs, causal=causal)
+    return dq, dk, dv
+
+
+_flash_attention_int8kv.defvjp(
+    _flash_attention_int8kv_fwd, _flash_attention_int8kv_bwd)
+
+
 def _forward_impl(q, k, v, causal, impl):
     """Returns (out, lse, m) under the chosen implementation."""
     if impl == "pallas":
@@ -86,12 +128,15 @@ def flash_attention(
     causal: bool = False,
     version: int = 2,
     impl: str | None = None,
+    kv_quant: str = "none",
 ) -> jax.Array:
     """Flash attention over [B, H, L, d] inputs; differentiable.
 
     ``version`` selects the FA1/FA2 residual convention (both backed by the
     same TPU kernels), ``impl`` overrides the registry default
-    ("pallas" | "reference" | "xla").
+    ("pallas" | "reference" | "xla").  ``kv_quant="int8"`` runs the
+    quantized-KV form: int8 K/V codes with per-position scales feed both the
+    forward and the backward recompute, and the saved residuals are int8.
 
     When a parallel context is active (parallel.context), the kernel runs
     inside a `jax.shard_map` region with batch sharded over the data axis and
@@ -102,6 +147,13 @@ def flash_attention(
     if version not in (1, 2):
         raise ValueError(f"version must be 1 or 2, got {version}")
     impl = resolve_impl(impl)
+    if kv_quant != "none":
+        if kv_quant != "int8":
+            raise ValueError(f"kv_quant must be 'none' or 'int8', got "
+                             f"{kv_quant!r}")
+        if impl != "pallas":
+            raise ValueError("kv_quant requires the pallas impl")
+        return _flash_attention_int8kv(q, k, v, causal)
 
     from tpu_flash.parallel.context import current_context
 
