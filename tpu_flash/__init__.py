@@ -30,3 +30,4 @@ from tpu_flash.ops import (  # noqa: F401
     layer_norm,
     naive_attention,
 )
+from tpu_flash.utils.grad_check import grad_check  # noqa: F401
