@@ -25,8 +25,12 @@ SETTINGS = dict(max_examples=12, deadline=None)
 
 def arrays(draw, shape, lo=-5.0, hi=5.0):
     n = int(np.prod(shape))
+    # allow_subnormal=False: XLA flushes subnormals to zero (hardware FTZ),
+    # numpy keeps them — a real semantic difference, but not one any
+    # framework op is expected to preserve.
     vals = draw(st.lists(
-        st.floats(lo, hi, width=32, allow_nan=False), min_size=n, max_size=n))
+        st.floats(lo, hi, width=32, allow_nan=False, allow_subnormal=False),
+        min_size=n, max_size=n))
     return np.asarray(vals, np.float32).reshape(shape)
 
 

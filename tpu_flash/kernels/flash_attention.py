@@ -62,14 +62,21 @@ from tpu_flash.kernels.common import (
     round_up,
 )
 
-# Measured on v5e (d=64/128, L=2k-8k, causal+dense): the forward prefers big
-# 1024x1024 tiles (more MXU work per softmax chain), the backward 512x1024
-# (51 vs 47 TFLOP/s against 512x512 after the fused single-pass rework).
-# Smaller sequences clamp to the (8-aligned) length.
-DEFAULT_BLOCK_Q = 1024
+# Measured on v5e (d=64/128, L=2k-8k, causal+dense): the forward prefers two
+# PACKED 512-row Q sub-tiles per grid step against 1024-col KV tiles (42.3 vs
+# 38.9 TFLOP/s for one 1024-row tile: the two independent QK->softmax->PV
+# chains let one half's VPU softmax overlap the other half's MXU dots — see
+# ``q_pack`` below); the fused backward prefers 512x512 (52 vs 46-47 TFLOP/s
+# against 512x1024, stable across 3 interleaved rounds; an earlier sweep
+# recorded the opposite ranking — day-to-day chip variance, re-measure before
+# trusting either).  Packing the backward the same way measured neutral
+# (bench/exp_bw_interleave.py), so it stays single-chain.  Smaller sequences
+# clamp to the (8-aligned) length.
+DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
+DEFAULT_Q_PACK = 2
 DEFAULT_BLOCK_Q_BWD = 512
-DEFAULT_BLOCK_K_BWD = 1024
+DEFAULT_BLOCK_K_BWD = 512
 
 LOG2E = 1.4426950408889634
 # The reference masks by *setting* scores to -1e7 (src/flash_attn_fw.cpp:
@@ -149,6 +156,42 @@ def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
     return arr[:, 0], arr[:, 1], arr[:, 2]
 
 
+def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
+                     q_offset, kv_len, q_pack):
+    """Trace-time schedule for the forward: one visit list of
+    ``(q_group, kv_tile)`` where a group packs ``q_pack`` consecutive
+    ``block_q``-row sub-tiles.  Flags carry FIRST/LAST (accumulator reset /
+    output write for the group) plus one LIVE bit per sub-tile
+    (``_LIVE << h``), so a KV tile beyond sub-tile h's causal range skips
+    that half's compute entirely.  ``q_pack=1`` reduces to the classic
+    per-tile schedule."""
+    def half_live(g, h, j):
+        if j * block_k >= kv_len:
+            return False
+        if not causal:
+            return True
+        last_row = q_offset + (g * q_pack + h + 1) * block_q - 1
+        return j * block_k <= last_row
+
+    entries = []
+    for g in range(num_groups):
+        js = [j for j in range(num_kv)
+              if any(half_live(g, h, j) for h in range(q_pack))]
+        forced = not js
+        if forced:
+            js = [0]
+        for idx, j in enumerate(js):
+            f = (_FIRST if idx == 0 else 0) \
+                | (_LAST if idx == len(js) - 1 else 0)
+            if not forced:
+                for h in range(q_pack):
+                    if half_live(g, h, j):
+                        f |= _LIVE << h
+            entries.append((g, j, f))
+    arr = np.asarray(entries, np.int32)
+    return arr[:, 0], arr[:, 1], arr[:, 2]
+
+
 def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset):
     """Causal / kv-boundary mask on a base-2 score tile.
 
@@ -208,12 +251,12 @@ def _ones_col(x):
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    imap_ref, jmap_ref, flags_ref,    # prefetched schedule
+    imap_ref, jmap_ref, flags_ref,    # prefetched schedule (imap = q GROUP)
     q_ref, k_ref, v_ref, ks_ref, vs_ref,   # inputs (scales used if quantized)
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
-    quantized,
+    quantized, q_pack,
 ):
     t = pl.program_id(1)
     flags = flags_ref[t]
@@ -226,43 +269,75 @@ def _fwd_kernel(
         if not fold_l:
             l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when((flags & _LIVE) != 0)
-    def _body():
+    # The KV tile is shared by every packed Q sub-tile: dequantize/augment it
+    # once.  (On forced visits — groups with no live sub-tile, scheduled only
+    # so the output block gets written — this computes on an arbitrary tile
+    # and is discarded; such visits exist only for fully-masked groups.)
+    kt = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
+          else k_ref[0])
+    kp = _pad_contract(kt, d)                       # [bk, d128]
+    vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
+          else v_ref[0])                            # [bk, d]
+    v_aug = _ones_col(vt) if fold_l else vt
+
+    def scores(h):
         # Fold softmax scale and the base-2 conversion into Q: one cheap
         # [bq, d] multiply instead of per-score work, then bf16 (or input
         # dtype) dots on the MXU with fp32 accumulation.
-        q = (q_ref[0].astype(jnp.float32) * (scale * LOG2E)).astype(
+        sel = pl.ds(h * block_q, block_q)
+        q = (q_ref[0, sel].astype(jnp.float32) * (scale * LOG2E)).astype(
             q_ref.dtype)                            # [bq, d]
-        qp = _pad_contract(q, d)                    # [bq, d128]
-        kt = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
-              else k_ref[0])
-        kp = _pad_contract(kt, d)                   # [bk, d128]
-        s2 = _dot(qp, kp, ((1,), (1,)))             # [bq, bk] base-2 scores
-
+        s2 = _dot(_pad_contract(q, d), kp, ((1,), (1,)))  # [bq, bk]
         if causal or padded_kv:
             s2 = _apply_mask(
-                s2, imap_ref[t], jmap_ref[t], block_q=block_q,
-                block_k=block_k, causal=causal, kv_len=kv_len,
-                q_offset=q_offset)
+                s2, imap_ref[t] * q_pack + h, jmap_ref[t],
+                block_q=block_q, block_k=block_k, causal=causal,
+                kv_len=kv_len, q_offset=q_offset)
+        return s2
 
-        m_prev = m_ref[:]                           # [bq, 1]
+    def chain(s2, h):
+        sel = pl.ds(h * block_q, block_q)
+        m_prev = m_ref[sel]                         # [bq, 1]
         m_cur = jnp.max(s2, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)            # rescale of the old state
         p = jnp.exp2(s2 - m_new)                    # [bq, bk] fp32
 
-        v = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
-             else v_ref[0])                         # [bk, d]
-        pb = p.astype(v.dtype)
-        if fold_l:
-            # Ones column: rowsum(p) comes out of the same MXU pass.
-            pv = _dot(pb, _ones_col(v), ((1,), (0,)))  # [bq, d+1] fp32
-            acc_ref[:] = acc_ref[:] * alpha + pv
-        else:
-            pv = _dot(pb, v, ((1,), (0,)))           # [bq, d] fp32
-            acc_ref[:] = acc_ref[:] * alpha + pv
-            l_ref[:] = alpha * l_ref[:] + jnp.sum(p, axis=-1, keepdims=True)
-        m_ref[:] = m_new
+        pb = p.astype(v_aug.dtype)
+        # fold_l: ones column — rowsum(p) rides the same MXU pass.
+        pv = _dot(pb, v_aug, ((1,), (0,)))          # [bq, d(+1)] fp32
+        acc_ref[sel] = acc_ref[sel] * alpha + pv
+        if not fold_l:
+            l_ref[sel] = (alpha * l_ref[sel]
+                          + jnp.sum(p, axis=-1, keepdims=True))
+        m_ref[sel] = m_new
+
+    # One online-softmax chain per packed sub-tile.  The chains are
+    # independent (disjoint accumulator rows); in the common all-live case
+    # EVERY sub-tile's QK dot is issued before the first softmax, so
+    # sub-tile h+1's MXU dots overlap sub-tile h's VPU softmax — the
+    # measured cure for the serialized QK->softmax->PV chain of the
+    # single-tile body.  (Ordering matters: one pl.when per half, each
+    # containing its full dot->softmax->PV chain, measures no faster than
+    # the unpacked kernel.)
+    live = [(flags & (_LIVE << h)) != 0 for h in range(q_pack)]
+    if q_pack == 1:
+        @pl.when(live[0])
+        def _single():
+            chain(scores(0), 0)
+    else:
+        all_live = functools.reduce(jnp.logical_and, live)
+
+        @pl.when(all_live)
+        def _all():
+            tiles = [scores(h) for h in range(q_pack)]
+            for h, s2 in enumerate(tiles):
+                chain(s2, h)
+
+        for h in range(q_pack):
+            @pl.when(live[h] & jnp.logical_not(all_live))
+            def _partial(h=h):
+                chain(scores(h), h)
 
     @pl.when((flags & _LAST) != 0)
     def _epilogue():
@@ -293,7 +368,8 @@ def _fwd_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
+                     "interpret"),
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -304,6 +380,7 @@ def flash_attention_forward(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
+    q_pack: int | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention forward over [B, H, L, d] inputs.
@@ -312,6 +389,12 @@ def flash_attention_forward(
     ``k_scale``/``v_scale`` of shape [B, H, Lk] — the quantized-KV training
     form: codes stream from HBM at reduced bandwidth and are dequantized
     against their scales in VMEM (see ``_dequant_tile``).
+
+    ``q_pack`` packs that many consecutive ``block_q``-row Q sub-tiles into
+    each grid step, giving the kernel independent QK->softmax->PV chains
+    whose MXU and VPU phases overlap (measured +9% over the single-chain
+    body at the headline shape).  Packing drops to 1 automatically when the
+    sequence has a single Q tile.
 
     Returns ``(out, lse, m)`` with ``out`` in the query dtype and
     ``lse``/``m`` fp32 of shape [B, H, L]: the FA2 residual (logsumexp) plus
@@ -327,7 +410,15 @@ def flash_attention_forward(
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
-    pLq, pLk = round_up(Lq, block_q), round_up(Lk, block_k)
+    if q_pack is None:
+        # Packing pays when the PV pass is MXU-underfilled (d=64-class heads,
+        # the fold_l shapes) and the VPU softmax is a large fraction of the
+        # chain; at full-width d=128 it measured ~neutral-to-negative.
+        q_pack = DEFAULT_Q_PACK if _fold_l(d) else 1
+    if round_up(Lq, block_q) // block_q < q_pack:
+        q_pack = 1                    # single Q tile: nothing to pack
+    group_q = q_pack * block_q
+    pLq, pLk = round_up(Lq, group_q), round_up(Lk, block_k)
     padded_kv = pLk != Lk
     q_offset = Lk - Lq
 
@@ -344,37 +435,37 @@ def flash_attention_forward(
         scale_block = (1, 1, 1)
         scale_index = lambda b, t, im, jm, fl: (b, 0, 0)
 
-    num_q, num_kv = pLq // block_q, pLk // block_k
-    imap, jmap, flags = _tile_schedule(
-        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, kv_len=Lk)
+    num_groups, num_kv = pLq // group_q, pLk // block_k
+    imap, jmap, flags = _packed_schedule(
+        num_groups, num_kv, block_q=block_q, block_k=block_k, causal=causal,
+        q_offset=q_offset, kv_len=Lk, q_pack=q_pack)
     fold_l = _fold_l(d)
 
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
-        quantized=quantized,
+        quantized=quantized, q_pack=q_pack,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B * H, len(imap)),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
             pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
             pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
             pl.BlockSpec(scale_block, scale_index),
             pl.BlockSpec(scale_block, scale_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, d + 1 if fold_l else d), jnp.float32),
-            pltpu.VMEM((block_q, 1), jnp.float32),
-        ] + ([] if fold_l else [pltpu.VMEM((block_q, 1), jnp.float32)]),
+            pltpu.VMEM((group_q, d + 1 if fold_l else d), jnp.float32),
+            pltpu.VMEM((group_q, 1), jnp.float32),
+        ] + ([] if fold_l else [pltpu.VMEM((group_q, 1), jnp.float32)]),
     )
 
     def kernel_wrapper(im, jm, fl, q_r, k_r, v_r, ks_r, vs_r,
