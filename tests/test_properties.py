@@ -25,13 +25,16 @@ SETTINGS = dict(max_examples=12, deadline=None)
 
 def arrays(draw, shape, lo=-5.0, hi=5.0):
     n = int(np.prod(shape))
-    # allow_subnormal=False: XLA flushes subnormals to zero (hardware FTZ),
-    # numpy keeps them — a real semantic difference, but not one any
-    # framework op is expected to preserve.
     vals = draw(st.lists(
         st.floats(lo, hi, width=32, allow_nan=False, allow_subnormal=False),
         min_size=n, max_size=n))
-    return np.asarray(vals, np.float32).reshape(shape)
+    arr = np.asarray(vals, np.float32).reshape(shape)
+    # XLA flushes subnormals to zero (hardware FTZ) while numpy keeps them —
+    # a real semantic difference, but not one any framework op is expected
+    # to preserve.  Snap tiny magnitudes to 0 so no drawn value NOR any
+    # product of two drawn values (>= 1e-30 > 2^-126) lands subnormal.
+    arr[np.abs(arr) < 1e-15] = 0.0
+    return arr
 
 
 small_shapes = st.lists(st.integers(1, 5), min_size=1, max_size=4).map(tuple)

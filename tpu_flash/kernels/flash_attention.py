@@ -246,20 +246,58 @@ def _ones_col(x):
         [x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
 
 
+def dropout_keep_mask(rows, cols, bh, seed, rate):
+    """Deterministic attention-dropout keep mask from a counter-based hash.
+
+    The TPU-native analog of FlashAttention's philox-counter dropout: the
+    mask for position (row, col) of head ``bh`` is a pure function of the
+    indices and a seed, so the backward pass REGENERATES it exactly instead
+    of storing an [Lq, Lk] mask (which would defeat the flash memory
+    footprint).  Plain uint32 multiply/xor/shift (murmur3-style fmix
+    finalizer) rather than ``pltpu.prng_*``: identical bits in interpret
+    mode (CPU tests) and compiled Mosaic, and recomputable from plain jnp
+    for the test oracle (``ops.reference.dropout_keep_oracle``).
+
+    ``rows``/``cols`` are int32 GLOBAL indices (broadcastable to the tile
+    shape), ``bh`` the flattened batch·head index, ``seed`` int32; returns
+    bool keep mask with P(keep) = 1 - rate.
+    """
+    h = (rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ cols.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+         ^ (jnp.asarray(bh).astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+         ^ jnp.asarray(seed).astype(jnp.uint32))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h >= jnp.uint32(min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1))
+
+
+def _tile_keep_scale(i_tile, j_tile, shape, *, block_q, block_k, bh, seed,
+                     rate):
+    """keep/(1-rate) multiplier tile for (q tile, kv tile): 0 where dropped."""
+    rows = i_tile * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    cols = j_tile * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    keep = dropout_keep_mask(rows, cols, bh, seed, rate)
+    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    imap_ref, jmap_ref, flags_ref,    # prefetched schedule (imap = q GROUP)
+    imap_ref, jmap_ref, flags_ref, seed_ref,  # prefetched schedule + seed
     q_ref, k_ref, v_ref, ks_ref, vs_ref,   # inputs (scales used if quantized)
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
-    quantized, q_pack,
+    quantized, q_pack, dropout_rate,
 ):
     t = pl.program_id(1)
-    flags = flags_ref[t]
+    bh = pl.program_id(0)   # hoisted: program_id inside pl.when bodies is
+    flags = flags_ref[t]    # not substitutable by the interpreter
     fold_l = l_ref is None
 
     @pl.when((flags & _FIRST) != 0)
@@ -303,7 +341,19 @@ def _fwd_kernel(
         alpha = jnp.exp2(m_prev - m_new)            # rescale of the old state
         p = jnp.exp2(s2 - m_new)                    # [bq, bk] fp32
 
-        pb = p.astype(v_aug.dtype)
+        if dropout_rate > 0.0:
+            # Attention dropout: drop entries of the (normalized) P AFTER
+            # the softmax — so the normalizer l accumulates the UNDROPPED p
+            # (which is why fold_l is disabled under dropout) and only the
+            # P·V accumulation sees the mask.  Regenerated identically in
+            # the backward from the same (row, col, head, seed) hash.
+            p_v = p * _tile_keep_scale(
+                imap_ref[t] * q_pack + h, jmap_ref[t], s2.shape,
+                block_q=block_q, block_k=block_k, bh=bh,
+                seed=seed_ref[0], rate=dropout_rate)
+        else:
+            p_v = p
+        pb = p_v.astype(v_aug.dtype)
         # fold_l: ones column — rowsum(p) rides the same MXU pass.
         pv = _dot(pb, v_aug, ((1,), (0,)))          # [bq, d(+1)] fp32
         acc_ref[sel] = acc_ref[sel] * alpha + pv
@@ -369,7 +419,7 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
-                     "interpret"),
+                     "dropout_rate", "interpret"),
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -381,6 +431,8 @@ def flash_attention_forward(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     q_pack: int | None = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
     interpret: bool | None = None,
 ):
     """Flash-attention forward over [B, H, L, d] inputs.
@@ -389,6 +441,15 @@ def flash_attention_forward(
     ``k_scale``/``v_scale`` of shape [B, H, Lk] — the quantized-KV training
     form: codes stream from HBM at reduced bandwidth and are dequantized
     against their scales in VMEM (see ``_dequant_tile``).
+
+    ``dropout_rate``/``dropout_seed``: in-kernel attention dropout on the
+    softmax probabilities (keep prob 1-rate, kept entries scaled by
+    1/(1-rate)); the mask is a counter-based hash of (row, col, head, seed)
+    — see ``dropout_keep_mask`` — so the backward regenerates it exactly
+    and nothing [Lq, Lk]-sized is ever materialized.  The reference has no
+    dropout in its flash path at all (its model-level attention dropout is
+    never applied, modules_transfomer.py:56); this is the BASELINE.md
+    "causal+dropout" measured config.
 
     ``q_pack`` packs that many consecutive ``block_q``-row Q sub-tiles into
     each grid step, giving the kernel independent QK->softmax->PV chains
@@ -429,38 +490,41 @@ def flash_attention_forward(
         ksf = pad_to(k_scale.reshape(B * H, Lk, 1), 1, pLk)
         vsf = pad_to(v_scale.reshape(B * H, Lk, 1), 1, pLk)
         scale_block = (1, block_k, 1)
-        scale_index = lambda b, t, im, jm, fl: (b, jm[t], 0)
+        scale_index = lambda b, t, im, jm, *r: (b, jm[t], 0)
     else:
         ksf = vsf = jnp.ones((B * H, 1, 1), jnp.float32)
         scale_block = (1, 1, 1)
-        scale_index = lambda b, t, im, jm, fl: (b, 0, 0)
+        scale_index = lambda b, t, im, jm, *r: (b, 0, 0)
 
     num_groups, num_kv = pLq // group_q, pLk // block_k
     imap, jmap, flags = _packed_schedule(
         num_groups, num_kv, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, kv_len=Lk, q_pack=q_pack)
-    fold_l = _fold_l(d)
+    # Under dropout the softmax normalizer must sum the UNDROPPED p, so it
+    # cannot ride the P·V ones column.
+    fold_l = _fold_l(d) and dropout_rate == 0.0
+    seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
 
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
-        quantized=quantized, q_pack=q_pack,
+        quantized=quantized, q_pack=q_pack, dropout_rate=dropout_rate,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B * H, len(imap)),
         in_specs=[
-            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
             pl.BlockSpec(scale_block, scale_index),
             pl.BlockSpec(scale_block, scale_index),
         ],
         out_specs=[
-            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
-            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
+            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((group_q, d + 1 if fold_l else d), jnp.float32),
@@ -468,15 +532,15 @@ def flash_attention_forward(
         ] + ([] if fold_l else [pltpu.VMEM((group_q, 1), jnp.float32)]),
     )
 
-    def kernel_wrapper(im, jm, fl, q_r, k_r, v_r, ks_r, vs_r,
+    def kernel_wrapper(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r,
                        o_r, lse_r, m_r, *scratch):
         if fold_l:
             acc, m_s = scratch
-            kernel(im, jm, fl, q_r, k_r, v_r, ks_r, vs_r,
+            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r,
                    o_r, lse_r, m_r, acc, m_s, None)
         else:
             acc, m_s, l_s = scratch
-            kernel(im, jm, fl, q_r, k_r, v_r, ks_r, vs_r,
+            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r,
                    o_r, lse_r, m_r, acc, m_s, l_s)
 
     out, lse, m = pl.pallas_call(
@@ -491,7 +555,7 @@ def flash_attention_forward(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags),
+    )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags), seed_arr,
       qf, kf, vf, ksf, vsf)
 
     out = out[:, :Lq].reshape(B, H, Lq, d)
@@ -505,10 +569,18 @@ def flash_attention_forward(
 # ---------------------------------------------------------------------------
 
 def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
-              block_k, kv_len, padded_kv, q_offset, d):
+              block_k, kv_len, padded_kv, q_offset, d,
+              dropout_rate=0.0, bh=None, seed=None):
     """Shared backward recompute for one (q, kv) tile pair: returns
-    ``(p, ds)`` — used identically by the fused, dK/dV and dQ kernels so the
-    three cannot drift apart.
+    ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
+    the three cannot drift apart.  ``p_dv`` is the matrix that left-multiplies
+    dO for dV: the plain softmax ``p`` without dropout, and the
+    mask-scaled ``p * keep/(1-rate)`` with it.
+
+    Dropout math (out = (P∘M/(1-r)) V with M the keep mask): the saved
+    ``delta = rowsum(dO·O)`` already equals ``rowsum(P ∘ dP̃)`` for
+    ``dP̃ = (dO Vᵀ)∘M/(1-r)``, so ``ds = p∘(dP̃ - delta)`` holds with the
+    same delta — only dp and the dV operand pick up the regenerated mask.
 
     Rows with ``lse = -inf`` (empty attention: no visible keys under the
     causal mask, see the forward epilogue) contribute exactly zero:
@@ -523,19 +595,28 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
     lse2 = jnp.where(jnp.isneginf(lse), jnp.inf, lse * LOG2E)
     p = jnp.exp2(s2 - lse2)                         # [bq, bk]
     dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
+    if dropout_rate > 0.0:
+        keep_scale = _tile_keep_scale(
+            i, j, s2.shape, block_q=block_q, block_k=block_k, bh=bh,
+            seed=seed, rate=dropout_rate)
+        dp = dp * keep_scale
+        p_dv = p * keep_scale
+    else:
+        p_dv = p
     ds = p * (dp - delta)
-    return p, ds
+    return p_dv, ds
 
 
 def _bwd_dkv_kernel(
-    imap_ref, jmap_ref, flags_ref,
+    imap_ref, jmap_ref, flags_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized,
+    quantized, dropout_rate,
 ):
     t = pl.program_id(1)
+    bh = pl.program_id(0)
     flags = flags_ref[t]
 
     @pl.when((flags & _FIRST) != 0)
@@ -554,7 +635,9 @@ def _bwd_dkv_kernel(
             q, kt, vt, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
-            padded_kv=padded_kv, q_offset=q_offset, d=d)
+            padded_kv=padded_kv, q_offset=q_offset, d=d,
+            dropout_rate=dropout_rate, bh=bh,
+            seed=seed_ref[0])
         # dV += P^T dO   (ones column: see _ones_col — discarded on store)
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
@@ -569,14 +652,15 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_dq_kernel(
-    imap_ref, jmap_ref, flags_ref,
+    imap_ref, jmap_ref, flags_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized,
+    quantized, dropout_rate,
 ):
     t = pl.program_id(1)
+    bh = pl.program_id(0)
     flags = flags_ref[t]
 
     @pl.when((flags & _FIRST) != 0)
@@ -593,7 +677,9 @@ def _bwd_dq_kernel(
             q_ref[0], k, vt, do_ref[0], lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
-            padded_kv=padded_kv, q_offset=q_offset, d=d)
+            padded_kv=padded_kv, q_offset=q_offset, d=d,
+            dropout_rate=dropout_rate, bh=bh,
+            seed=seed_ref[0])
         # dQ += dS K  (tau applied once at the end)
         dq_acc[:] += _dot(ds.astype(k.dtype),
                           _ones_col(k) if aug else k, ((1,), (0,)))
@@ -604,12 +690,12 @@ def _bwd_dq_kernel(
 
 
 def _bwd_fused_kernel(
-    imap_ref, jmap_ref, flags_ref,
+    imap_ref, jmap_ref, flags_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps, quantized,
+    n_steps, quantized, dropout_rate,
 ):
     """Single-pass backward: dK/dV accumulate per KV tile as in
     ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
@@ -620,6 +706,7 @@ def _bwd_fused_kernel(
     (and its recomputation of S and dP: 5 MXU dots per tile pair instead
     of 7, plus one less read of Q/K/V/dO)."""
     t = pl.program_id(1)
+    bh = pl.program_id(0)
     flags = flags_ref[t]
 
     @pl.when(t == 0)
@@ -642,7 +729,9 @@ def _bwd_fused_kernel(
             q, k, vt, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
-            padded_kv=padded_kv, q_offset=q_offset, d=d)
+            padded_kv=padded_kv, q_offset=q_offset, d=d,
+            dropout_rate=dropout_rate, bh=bh,
+            seed=seed_ref[0])
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
         dk_acc[:] += _dot(ds.astype(q.dtype),
@@ -672,7 +761,8 @@ _FUSED_DQ_VMEM_BUDGET = int(2.5 * 1024 * 1024)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k",
+                     "dropout_rate", "interpret"),
 )
 def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -685,6 +775,8 @@ def flash_attention_backward(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q_BWD,
     block_k: int = DEFAULT_BLOCK_K_BWD,
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
     interpret: bool | None = None,
 ):
     """Flash-attention backward: returns (dq, dk, dv) for [B, H, L, d] inputs.
@@ -730,13 +822,14 @@ def flash_attention_backward(
         ksf = pad_to(k_scale.reshape(B * H, Lk, 1), 1, pLk)
         vsf = pad_to(v_scale.reshape(B * H, Lk, 1), 1, pLk)
         scale_block = (1, block_k, 1)
-        scale_index = lambda b, t, im, jm, fl: (b, jm[t], 0)
+        scale_index = lambda b, t, im, jm, *r: (b, jm[t], 0)
     else:
         ksf = vsf = jnp.ones((B * H, 1, 1), jnp.float32)
         scale_block = (1, 1, 1)
-        scale_index = lambda b, t, im, jm, fl: (b, 0, 0)
+        scale_index = lambda b, t, im, jm, *r: (b, 0, 0)
     # gradients are w.r.t. the (dequantized) fp values
     grad_dtype = q.dtype
+    seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
 
     num_q, num_kv = pLq // block_q, pLk // block_k
 
@@ -748,18 +841,18 @@ def flash_attention_backward(
     fused = pLq * dw * 4 <= _FUSED_DQ_VMEM_BUDGET
 
     common_in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
-        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
-        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
         pl.BlockSpec(scale_block, scale_index),
         pl.BlockSpec(scale_block, scale_index),
-        pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
-        pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
-        pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, fl: (b, im[t], 0)),
+        pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
     ]
     kv_out_specs = [
-        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
-        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, fl: (b, jm[t], 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
+        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
     ]
 
     if fused:
@@ -768,13 +861,14 @@ def flash_attention_backward(
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
             n_steps=len(kv_imap), quantized=quantized,
+            dropout_rate=dropout_rate,
         )
         fused_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(B * H, len(kv_imap)),
             in_specs=common_in_specs,
             out_specs=kv_out_specs + [
-                pl.BlockSpec((1, pLq, d), lambda b, t, im, jm, fl: (b, 0, 0)),
+                pl.BlockSpec((1, pLq, d), lambda b, t, im, jm, *r: (b, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((block_k, dw), jnp.float32),
@@ -795,7 +889,7 @@ def flash_attention_backward(
             ),
             interpret=interpret,
         )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-          qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
+          seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
         dq = dq[:, :Lq].reshape(B, H, Lq, d)
         dk = dk[:, :Lk].reshape(B, H, Lk, d)
         dv = dv[:, :Lk].reshape(B, H, Lk, d)
@@ -805,10 +899,10 @@ def flash_attention_backward(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        quantized=quantized,
+        quantized=quantized, dropout_rate=dropout_rate,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B * H, len(kv_imap)),
         in_specs=common_in_specs,
         out_specs=kv_out_specs,
@@ -829,7 +923,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-      qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
+      seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
 
     q_imap, q_jmap, q_flags = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
@@ -838,14 +932,14 @@ def flash_attention_backward(
         _bwd_dq_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        quantized=quantized,
+        quantized=quantized, dropout_rate=dropout_rate,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B * H, len(q_imap)),
         in_specs=common_in_specs,
         out_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, fl: (b, im[t], 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_q, dw), jnp.float32),
@@ -862,7 +956,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(q_imap), jnp.asarray(q_jmap), jnp.asarray(q_flags),
-      qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
+      seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
     dk = dk[:, :Lk].reshape(B, H, Lk, d)

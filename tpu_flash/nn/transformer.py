@@ -69,6 +69,7 @@ class DecoderConfig:
     bias: bool = True
     causal: bool = True
     attention_kind: AttentionKind = "flash"       # use_flash_attention
+    attn_dropout: float = 0.0                     # in-kernel attention dropout
     use_fused_kernel: bool = False                # fused softmax + LN switch
     dtype: Any = jnp.float32
     # TPU-first extras
@@ -122,9 +123,16 @@ class MultiHeadAttention(Module):
         v = split(self.v_projection(params["v_projection"], x), c.kv_heads)
         return q, k, v
 
-    def self_attention(self, q, k, v, *, kv_mask=None):
+    def self_attention(self, q, k, v, *, kv_mask=None, key=None,
+                       training=False):
         """The three-path attention dispatch (modules_transfomer.py:119-137),
-        plus "auto" (size-based kernel-vs-XLA choice)."""
+        plus "auto" (size-based kernel-vs-XLA choice).
+
+        ``attn_dropout`` (flash path, training only) runs the in-kernel
+        hash-mask dropout — the reference declares attention dropout but
+        never applies it (modules_transfomer.py:56); here it actually works,
+        seeded from the step key.
+        """
         c = self.cfg
         if k.shape[1] != q.shape[1]:
             # GQA: repeat each KV head across its query group for the full
@@ -137,6 +145,12 @@ class MultiHeadAttention(Module):
             L, d = q.shape[-2], q.shape[-1]
             kind = "flash" if L * d >= _FLASH_AUTO_MIN_LD else "naive"
         if kind == "flash":
+            if training and c.attn_dropout > 0.0 and key is not None:
+                seed = jax.random.randint(
+                    key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+                return flash_attention(
+                    q, k, v, causal=c.causal,
+                    dropout_rate=c.attn_dropout, dropout_seed=seed)
             return flash_attention(q, k, v, causal=c.causal)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
@@ -228,7 +242,8 @@ class MultiHeadAttention(Module):
             out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
             out = self.out_projection(params["out_projection"], out)
             return out, kv_cache
-        out = self.self_attention(q, k, v, kv_mask=kv_mask)
+        out = self.self_attention(q, k, v, kv_mask=kv_mask, key=key,
+                                  training=training)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
         return self.out_projection(params["out_projection"], out)
 

@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpu_flash.kernels.flash_attention import (
     flash_attention_backward,
@@ -75,48 +76,70 @@ _flash_attention_int8kv.defvjp(
     _flash_attention_int8kv_fwd, _flash_attention_int8kv_bwd)
 
 
-def _forward_impl(q, k, v, causal, impl):
+def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0):
     """Returns (out, lse, m) under the chosen implementation."""
     if impl == "pallas":
-        return flash_attention_forward(q, k, v, causal=causal)
-    if impl == "reference":
+        return flash_attention_forward(
+            q, k, v, causal=causal, dropout_rate=dropout_rate,
+            dropout_seed=seed)
+    if impl == "reference" and dropout_rate == 0.0:
         out, lse = ref.flash_attention2_fw_reference(q, k, v, causal=causal)
         # m is only needed for FA1-style residual reporting.
         _, l1, m1 = ref.flash_attention1_fw_reference(q, k, v, causal=causal)
         del l1
         return out, lse, m1
-    # "xla": plain composition; lse computed directly.
+    # "xla" (and the dropout form of "reference"): plain composition with
+    # lse computed directly; dropout applies the SAME hash mask as the
+    # kernel (ref.dropout_keep_oracle) to the softmax probabilities.
     scale = ref.default_scale(q.shape[-1])
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     if causal:
         s = s + ref.causal_mask(q.shape[-2], k.shape[-2], s.dtype)
     lse = jax.nn.logsumexp(s, axis=-1)
     m = jnp.max(s, axis=-1)
-    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+    probs = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0:
+        probs = probs * ref.dropout_keep_oracle(
+            q.shape[0], q.shape[1], q.shape[2], k.shape[2],
+            seed, dropout_rate)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
     return out, lse, m
 
 
-def _backward_impl(q, k, v, o, lse, do, causal, impl):
+def _backward_impl(q, k, v, o, lse, do, causal, impl, dropout_rate=0.0,
+                   seed=0):
     if impl == "pallas":
-        return flash_attention_backward(q, k, v, o, lse, do, causal=causal)
+        return flash_attention_backward(
+            q, k, v, o, lse, do, causal=causal, dropout_rate=dropout_rate,
+            dropout_seed=seed)
+    if dropout_rate > 0.0:
+        raise NotImplementedError(
+            "dropout backward is pallas-only (the reference oracle is "
+            "forward-only for dropout)")
     return ref.flash_attention2_bw_reference(q, k, v, o, lse, do, causal=causal)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_attention(q, k, v, causal, impl):
-    out, _, _ = _forward_impl(q, k, v, causal, impl)
+def _seed_cotangent(seed):
+    # int32 seeds are non-differentiable: their cotangent is symbolic zero.
+    return np.zeros(np.shape(seed), jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention(q, k, v, seed, causal, impl, dropout_rate):
+    out, _, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed)
     return out
 
 
-def _flash_attention_fwd(q, k, v, causal, impl):
-    out, lse, _ = _forward_impl(q, k, v, causal, impl)
-    return out, (q, k, v, out, lse)
+def _flash_attention_fwd(q, k, v, seed, causal, impl, dropout_rate):
+    out, lse, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed)
+    return out, (q, k, v, out, lse, seed)
 
 
-def _flash_attention_bwd(causal, impl, residuals, do):
-    q, k, v, out, lse = residuals
-    dq, dk, dv = _backward_impl(q, k, v, out, lse, do, causal, impl)
-    return dq, dk, dv
+def _flash_attention_bwd(causal, impl, dropout_rate, residuals, do):
+    q, k, v, out, lse, seed = residuals
+    dq, dk, dv = _backward_impl(q, k, v, out, lse, do, causal, impl,
+                                dropout_rate, seed)
+    return dq, dk, dv, _seed_cotangent(seed)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -129,6 +152,8 @@ def flash_attention(
     version: int = 2,
     impl: str | None = None,
     kv_quant: str = "none",
+    dropout_rate: float = 0.0,
+    dropout_seed: jax.Array | int = 0,
 ) -> jax.Array:
     """Flash attention over [B, H, L, d] inputs; differentiable.
 
@@ -137,6 +162,15 @@ def flash_attention(
     ("pallas" | "reference" | "xla").  ``kv_quant="int8"`` runs the
     quantized-KV form: int8 K/V codes with per-position scales feed both the
     forward and the backward recompute, and the saved residuals are int8.
+
+    ``dropout_rate``/``dropout_seed``: attention dropout on the softmax
+    probabilities via an in-kernel counter-based hash mask regenerated
+    exactly in the backward (kernels/flash_attention.dropout_keep_mask) —
+    nothing [L, L]-sized is ever stored.  ``dropout_seed`` is an int32
+    (array or python int); derive a fresh one per training step, e.g.
+    ``jax.random.randint(key, (), 0, 2**31 - 1)``.  New capability: the
+    reference's flash path has no dropout, and its model-level attention
+    dropout is never applied (modules_transfomer.py:56).
 
     When a parallel context is active (parallel.context), the kernel runs
     inside a `jax.shard_map` region with batch sharded over the data axis and
@@ -147,12 +181,19 @@ def flash_attention(
     if version not in (1, 2):
         raise ValueError(f"version must be 1 or 2, got {version}")
     impl = resolve_impl(impl)
+    dropout_rate = float(dropout_rate)
+    seed = jnp.asarray(dropout_seed, jnp.int32)
+    if dropout_rate > 0.0 and impl == "reference":
+        impl = "xla"  # the dropout-capable dense oracle form
     if kv_quant != "none":
         if kv_quant != "int8":
             raise ValueError(f"kv_quant must be 'none' or 'int8', got "
                              f"{kv_quant!r}")
         if impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
+        if dropout_rate > 0.0:
+            raise NotImplementedError(
+                "kv_quant and dropout_rate cannot be combined yet")
         return _flash_attention_int8kv(q, k, v, causal)
 
     from tpu_flash.parallel.context import current_context
@@ -164,13 +205,18 @@ def flash_attention(
             from jax.sharding import PartitionSpec as P
 
             spec = P(ctx.data_axis, ctx.model_axis, None, None)
+            # NOTE: under shard_map the dropout hash uses shard-LOCAL
+            # (batch*head) indices, so different shards reuse mask patterns;
+            # statistically irrelevant, but runs are not bit-identical to
+            # the unsharded layout when dropout is on.
             fn = jax.shard_map(
-                lambda q, k, v: _flash_attention(q, k, v, causal, impl),
-                mesh=ctx.mesh, in_specs=(spec, spec, spec), out_specs=spec,
-                check_vma=False)
-            return fn(q, k, v)
+                lambda q, k, v, s: _flash_attention(
+                    q, k, v, s, causal, impl, dropout_rate),
+                mesh=ctx.mesh, in_specs=(spec, spec, spec, P()),
+                out_specs=spec, check_vma=False)
+            return fn(q, k, v, seed)
         impl = "xla"  # indivisible shapes: let GSPMD partition the graph
-    return _flash_attention(q, k, v, causal, impl)
+    return _flash_attention(q, k, v, seed, causal, impl, dropout_rate)
 
 
 def flash_attention_with_residuals(

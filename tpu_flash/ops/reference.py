@@ -369,3 +369,20 @@ def layernorm_bw_reference(
     dgamma = jnp.sum(dy * xhat, axis=reduce_axes)
     dbeta = jnp.sum(dy, axis=reduce_axes)
     return dx, dgamma, dbeta
+
+
+def dropout_keep_oracle(B, H, Lq, Lk, seed, rate):
+    """The attention-dropout keep/(1-rate) multiplier for the FULL
+    [B, H, Lq, Lk] probability tensor — the dense-oracle twin of the
+    in-kernel tile mask (kernels/flash_attention.dropout_keep_mask with
+    global row/col indices and bh = b*H + h), used by the "xla" impl and by
+    the parity tests to reproduce the kernel's masks bit-exactly."""
+    from tpu_flash.kernels.flash_attention import dropout_keep_mask
+
+    rows = jnp.arange(Lq, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(Lk, dtype=jnp.int32)[None, :]
+    bh = jnp.arange(B * H, dtype=jnp.int32).reshape(B, H)
+    keep = jax.vmap(jax.vmap(
+        lambda b: dropout_keep_mask(rows, cols, b, seed, rate)))(bh)
+    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)),
+                     jnp.float32(0.0))
