@@ -133,3 +133,27 @@ def test_model_level_attn_dropout(rng):
     np.testing.assert_array_equal(np.asarray(eval_out), np.asarray(eval_out2))
     assert float(jnp.max(jnp.abs(train_a - train_c))) > 0.0
     assert float(jnp.max(jnp.abs(train_a - eval_out))) > 0.0
+
+
+def test_dropout_with_int8_kv(rng):
+    """dropout composes with quantized-KV training attention."""
+    q, k, v = make_qkv(rng, B=1, H=2, Lq=128, Lk=128)
+    out = tpu_flash.flash_attention(
+        q, k, v, causal=True, kv_quant="int8", dropout_rate=0.2,
+        dropout_seed=21)
+    base = tpu_flash.flash_attention(q, k, v, causal=True, kv_quant="int8")
+    assert out.shape == base.shape
+    assert float(jnp.max(jnp.abs(out - base))) > 0.0
+    do = jnp.asarray(np.random.default_rng(2).standard_normal(q.shape),
+                     jnp.float32)
+    g = jax.grad(lambda *a: jnp.sum(tpu_flash.flash_attention(
+        *a, causal=True, kv_quant="int8", dropout_rate=0.2,
+        dropout_seed=21) * do), (0, 1, 2))(q, k, v)
+    assert all(bool(jnp.all(jnp.isfinite(x))) for x in g)
+    # int8+dropout grads track the fp+dropout grads (quantization noise only)
+    g_fp = jax.grad(lambda *a: jnp.sum(tpu_flash.flash_attention(
+        *a, causal=True, dropout_rate=0.2, dropout_seed=21) * do),
+        (0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_fp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.2, atol=0.05)

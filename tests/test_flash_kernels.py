@@ -182,7 +182,7 @@ def test_int8_kv_attention_fwd_bwd(rng):
     its saved residuals really are int8."""
     import jax.numpy as jnp
     from tpu_flash.ops.attention import (
-        _flash_attention_int8kv_fwd, _quantize_kv, flash_attention)
+        _flash_attention_quantkv_fwd, _quantize_kv, flash_attention)
 
     B, H, L, d = 1, 2, 128, 32
     q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
@@ -205,13 +205,54 @@ def test_int8_kv_attention_fwd_bwd(rng):
                                atol=5e-2, rtol=5e-2)
 
     # residuals are int8 codes, not fp tensors
-    _, res = _flash_attention_int8kv_fwd(q, k, v, True)
+    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, True, 0.0, "int8")
     assert res[1].dtype == jnp.int8 and res[3].dtype == jnp.int8
 
     # gradients: quantized path == fp path on the dequantized k/v (for q),
     # straight-through for k/v (within quantization noise of fp grads)
     gq = jax.grad(lambda q, k, v: jnp.sum(
         flash_attention(q, k, v, causal=True, kv_quant="int8",
+                        impl="pallas") * w), (0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=True, impl="pallas") * w),
+        (0, 1, 2))(q, k_dq, v_dq)
+    for a, b in zip(gq, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_fp8_kv_attention_fwd_bwd(rng):
+    """fp8(e4m3) training KV: matches attention on explicitly dequantized
+    k/v exactly, tracks the fp path within fp8 noise, residuals are fp8."""
+    import jax.numpy as jnp
+    from tpu_flash.ops.attention import (
+        _flash_attention_quantkv_fwd, _quantize_kv, flash_attention)
+
+    B, H, L, d = 1, 2, 128, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+               for _ in range(3))
+    w = jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+
+    out_q = flash_attention(q, k, v, causal=True, kv_quant="fp8",
+                            impl="pallas")
+    kc, ks = _quantize_kv(k, "fp8")
+    vc, vs = _quantize_kv(v, "fp8")
+    assert kc.dtype == jnp.float8_e4m3fn
+    k_dq = kc.astype(jnp.float32) * ks[..., None]
+    v_dq = vc.astype(jnp.float32) * vs[..., None]
+    ref = flash_attention(q, k_dq, v_dq, causal=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref),
+                               atol=1e-5, rtol=1e-4)
+    full = flash_attention(q, k, v, causal=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(full),
+                               atol=0.12, rtol=0.12)
+
+    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, True, 0.0, "fp8")
+    assert res[1].dtype == jnp.float8_e4m3fn
+    assert res[3].dtype == jnp.float8_e4m3fn
+
+    gq = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=True, kv_quant="fp8",
                         impl="pallas") * w), (0, 1, 2))(q, k, v)
     gr = jax.grad(lambda q, k, v: jnp.sum(
         flash_attention(q, k, v, causal=True, impl="pallas") * w),

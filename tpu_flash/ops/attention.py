@@ -34,24 +34,31 @@ from tpu_flash.ops import reference as ref
 from tpu_flash.ops.registry import resolve_impl
 
 
-def _quantize_kv(x):
-    """Per-(batch, head, position) symmetric int8 quantization over head_dim
-    (the same scheme as the inference KV-cache, inference/kv_cache.py)."""
+def _quantize_kv(x, mode="int8"):
+    """Per-(batch, head, position) symmetric quantization over head_dim
+    (the same schemes as the inference KV-cache, inference/kv_cache.py):
+    int8 [-127, 127] or float8_e4m3 (max normal 448)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    scales = jnp.where(amax == 0.0, 1.0, amax / 127.0)
-    codes = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scales[..., None]), -127, 127
-    ).astype(jnp.int8)
+    if mode == "int8":
+        scales = jnp.where(amax == 0.0, 1.0, amax / 127.0)
+        codes = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / scales[..., None]), -127, 127
+        ).astype(jnp.int8)
+    else:  # fp8
+        scales = jnp.where(amax == 0.0, 1.0, amax / 448.0)
+        codes = (x.astype(jnp.float32) / scales[..., None]).astype(
+            jnp.float8_e4m3fn)
     return codes, scales.astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_attention_int8kv(q, k, v, causal):
-    out, _ = _flash_attention_int8kv_fwd(q, k, v, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_attention_quantkv(q, k, v, seed, causal, dropout_rate, mode):
+    out, _ = _flash_attention_quantkv_fwd(
+        q, k, v, seed, causal, dropout_rate, mode)
     return out
 
 
-def _flash_attention_int8kv_fwd(q, k, v, causal):
+def _flash_attention_quantkv_fwd(q, k, v, seed, causal, dropout_rate, mode):
     """Quantized-KV flash attention (BASELINE's INT8-KV FA2 fw+bw): K/V are
     quantized to int8 codes + per-position scales, BOTH the forward and the
     backward recompute consume the codes (dequant fused in VMEM,
@@ -59,21 +66,24 @@ def _flash_attention_int8kv_fwd(q, k, v, causal):
     int8 codes — halving (bf16) or quartering (fp32) the attention
     residual memory for long-context training.  Gradients for k/v are
     straight-through (w.r.t. the dequantized values)."""
-    kc, ks = _quantize_kv(k)
-    vc, vs = _quantize_kv(v)
-    out, lse, _ = flash_attention_forward(q, kc, vc, ks, vs, causal=causal)
-    return out, (q, kc, ks, vc, vs, out, lse)
+    kc, ks = _quantize_kv(k, mode)
+    vc, vs = _quantize_kv(v, mode)
+    out, lse, _ = flash_attention_forward(
+        q, kc, vc, ks, vs, causal=causal, dropout_rate=dropout_rate,
+        dropout_seed=seed)
+    return out, (q, kc, ks, vc, vs, out, lse, seed)
 
 
-def _flash_attention_int8kv_bwd(causal, res, do):
-    q, kc, ks, vc, vs, out, lse = res
+def _flash_attention_quantkv_bwd(causal, dropout_rate, mode, res, do):
+    q, kc, ks, vc, vs, out, lse, seed = res
     dq, dk, dv = flash_attention_backward(
-        q, kc, vc, out, lse, do, None, ks, vs, causal=causal)
-    return dq, dk, dv
+        q, kc, vc, out, lse, do, None, ks, vs, causal=causal,
+        dropout_rate=dropout_rate, dropout_seed=seed)
+    return dq, dk, dv, _seed_cotangent(seed)
 
 
-_flash_attention_int8kv.defvjp(
-    _flash_attention_int8kv_fwd, _flash_attention_int8kv_bwd)
+_flash_attention_quantkv.defvjp(
+    _flash_attention_quantkv_fwd, _flash_attention_quantkv_bwd)
 
 
 def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0):
@@ -186,15 +196,13 @@ def flash_attention(
     if dropout_rate > 0.0 and impl == "reference":
         impl = "xla"  # the dropout-capable dense oracle form
     if kv_quant != "none":
-        if kv_quant != "int8":
-            raise ValueError(f"kv_quant must be 'none' or 'int8', got "
-                             f"{kv_quant!r}")
+        if kv_quant not in ("int8", "fp8"):
+            raise ValueError(f"kv_quant must be 'none', 'int8' or 'fp8', "
+                             f"got {kv_quant!r}")
         if impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
-        if dropout_rate > 0.0:
-            raise NotImplementedError(
-                "kv_quant and dropout_rate cannot be combined yet")
-        return _flash_attention_int8kv(q, k, v, causal)
+        return _flash_attention_quantkv(
+            q, k, v, seed, causal, dropout_rate, kv_quant)
 
     from tpu_flash.parallel.context import current_context
 
