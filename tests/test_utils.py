@@ -79,3 +79,34 @@ def test_checked_catches_nan():
     f(jnp.asarray([1.0, 2.0]))  # fine
     with pytest.raises(Exception):
         f(jnp.asarray([-1.0]))
+
+
+def test_metrics_logger(tmp_path):
+    import jax.numpy as jnp
+
+    from tpu_flash.utils.metrics import MetricsLogger, read_metrics
+
+    path = tmp_path / "m.jsonl"
+    with MetricsLogger(path, run={"cfg": {"n": 1}}) as m:
+        m.log(loss=jnp.float32(2.5), tokens_per_sec=100)
+        m.log(step=7, loss=1.25)
+    recs = read_metrics(path)
+    assert recs[0]["event"] == "run_start" and recs[0]["cfg"] == {"n": 1}
+    assert recs[1]["step"] == 1 and recs[1]["loss"] == 2.5
+    assert isinstance(recs[1]["loss"], float)
+    assert recs[2]["step"] == 7 and recs[2]["loss"] == 1.25
+    assert all("wall" in r for r in recs[1:])
+
+
+def test_metrics_logger_nan_safe(tmp_path):
+    import json
+
+    from tpu_flash.utils.metrics import MetricsLogger, read_metrics
+
+    path = tmp_path / "m.jsonl"
+    with MetricsLogger(path) as m:
+        m.log(loss=float("nan"), lr=float("inf"), ok=1.5)
+    recs = read_metrics(path)  # must be strict-JSON loadable
+    assert recs[0]["loss"] is None and recs[0]["lr"] is None
+    assert recs[0]["ok"] == 1.5
+    json.loads(open(path).read().splitlines()[0])  # strict parse

@@ -57,7 +57,7 @@ def make_train_step(model, opt):
 
 def train_epoch(model, opt, params, opt_state, examples, collate_fn,
                 batch_size, key, *, n_samples=None, max_iters=None,
-                log_every=10, native_loader=None):
+                log_every=10, native_loader=None, metrics=None):
     """One training epoch with fwd+bwd+opt fused in a single jitted step;
     reports tokens/sec like the reference's tqdm postfix.
 
@@ -94,6 +94,9 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
             toks = batch["input_ids"].size
             print(f"  it {it}/{n_batches}  loss {loss:.4f}  "
                   f"tokens/sec {toks / dt:,.0f}")
+            if metrics is not None:
+                metrics.log(loss=loss, step_ms=round(dt * 1e3, 2),
+                            tokens_per_sec=round(toks / dt))
     return params, opt_state, losses, step_times
 
 
@@ -247,18 +250,23 @@ def main(argv=None):
         except nl.NativeUnavailable as e:
             print(json.dumps({"native_loader": f"unavailable: {e}"}))
 
+    from tpu_flash.utils.metrics import MetricsLogger
+
+    metrics = MetricsLogger(os.path.join(workdir, "metrics.jsonl"),
+                            run={"event_args": vars(args)})
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, losses, step_times = train_epoch(
             model, opt, params, opt_state, dataset["train"], collate_fn,
             batch_size, ekey, n_samples=args.samples_per_epoch,
-            max_iters=args.max_iters_per_epoch, native_loader=native_loader)
+            max_iters=args.max_iters_per_epoch, native_loader=native_loader,
+            metrics=metrics)
         epoch_time = time.perf_counter() - t0
         val_loss = evaluate_loss(model, params, dataset["validation"],
                                  collate_fn, batch_size)
         mean_step = float(np.mean(step_times)) if step_times else float("nan")
-        print(json.dumps({
+        epoch_rec = {
             "epoch": epoch,
             "train_loss": float(np.mean(losses)),
             "validation_loss": val_loss,
@@ -266,7 +274,9 @@ def main(argv=None):
             "mean_step_ms": round(mean_step * 1e3, 2),
             "tokens_per_sec": round(batch_size * L / mean_step)
             if step_times else None,
-        }))
+        }
+        print(json.dumps(epoch_rec))
+        metrics.log(**epoch_rec)
 
         if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
             path = save_checkpoint(
