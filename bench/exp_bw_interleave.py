@@ -43,7 +43,6 @@ def _packed_kv_outer_schedule(num_groups, num_kv, *, block_q, block_k,
     def half_live(g, h, j):
         if j * block_k >= kv_len:
             return False
-        row_lo = (g * q_pack + h) * block_q          # first row of sub-tile
         if not causal:
             return True
         # KV tile j contributes to rows >= j*block_k - q_offset

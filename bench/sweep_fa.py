@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--no-causal", dest="causal", action="store_false")
     ap.add_argument("--iters", type=int, default=0,
                     help="0 = auto-calibrate to a ~150ms marginal signal")
+    ap.add_argument("--q-pack", type=int, default=None,
+                    help="forward Q-sub-tile packing (None = kernel default: "
+                         "2 for fold_l head dims; pass 1 to sweep the "
+                         "unpacked kernel)")
     args = ap.parse_args()
 
     from tpu_flash.kernels.flash_attention import (
@@ -51,8 +55,10 @@ def main():
         try:
             r = benchmark(
                 lambda q, k, v: flash_attention_forward(
-                    q, k, v, causal=args.causal, block_q=bq, block_k=bk),
-                q, k, v, iters=args.iters or None, name=f"fw bq={bq} bk={bk}",
+                    q, k, v, causal=args.causal, block_q=bq, block_k=bk,
+                    q_pack=args.q_pack),
+                q, k, v, iters=args.iters or None,
+                name=f"fw bq={bq} bk={bk} qp={args.q_pack or 'auto'}",
                 flops=fw_flops)
             print(f"{r}   ")
         except Exception as e:  # noqa: BLE001

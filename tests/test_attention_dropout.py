@@ -114,12 +114,16 @@ def test_backward_matches_oracle_grad(rng):
                                    rtol=1e-3, atol=1e-3)
 
 
-def test_model_level_attn_dropout(rng):
-    """DecoderConfig.attn_dropout changes training forward, not eval."""
+@pytest.mark.parametrize("kind", ["flash", "naive", "fused"])
+def test_model_level_attn_dropout(rng, kind):
+    """DecoderConfig.attn_dropout changes training forward (on EVERY
+    attention path), not eval."""
     from tpu_flash import nn
 
     cfg = nn.DecoderConfig(n_vocab=64, n_embd=32, n_head=2, n_layer=1,
-                           p_dropout=0.0, attn_dropout=0.3)
+                           p_dropout=0.0, attn_dropout=0.3,
+                           attention_kind=kind,
+                           use_fused_kernel=(kind == "fused"))
     model = nn.DecoderLM(cfg)
     params = model.init(jax.random.key(0))
     ids = jnp.asarray(rng.integers(0, 64, (2, 16)))
@@ -157,3 +161,19 @@ def test_dropout_with_int8_kv(rng):
     for a, b in zip(g, g_fp):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=0.2, atol=0.05)
+
+
+def test_xla_impl_dropout_differentiable(rng):
+    """The dense fallback (impl='xla', e.g. indivisible shapes under a
+    parallel context) must be differentiable with dropout on."""
+    q, k, v = make_qkv(rng, B=1, H=1, Lq=64, Lk=64, d=16)
+    g = jax.grad(lambda q: jnp.sum(tpu_flash.flash_attention(
+        q, k, v, causal=True, dropout_rate=0.2, dropout_seed=5,
+        impl="xla")))(q)
+    assert bool(jnp.all(jnp.isfinite(g)))
+    # and it matches the pallas backward on the same mask
+    g_p = jax.grad(lambda q: jnp.sum(tpu_flash.flash_attention(
+        q, k, v, causal=True, dropout_rate=0.2, dropout_seed=5,
+        impl="pallas")))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_p),
+                               rtol=1e-3, atol=1e-3)

@@ -95,7 +95,7 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
             print(f"  it {it}/{n_batches}  loss {loss:.4f}  "
                   f"tokens/sec {toks / dt:,.0f}")
             if metrics is not None:
-                metrics.log(loss=loss, step_ms=round(dt * 1e3, 2),
+                metrics.log(step=it, loss=loss, step_ms=round(dt * 1e3, 2),
                             tokens_per_sec=round(toks / dt))
     return params, opt_state, losses, step_times
 
@@ -254,6 +254,17 @@ def main(argv=None):
 
     metrics = MetricsLogger(os.path.join(workdir, "metrics.jsonl"),
                             run={"event_args": vars(args)})
+    try:
+        _train_loop(args, model, opt, params, opt_state, dataset, collate_fn,
+                    batch_size, key, start_epoch, native_loader, metrics,
+                    ckpt_dir, tokenizer, src_key, tgt_key, L)
+    finally:
+        metrics.close()
+
+
+def _train_loop(args, model, opt, params, opt_state, dataset, collate_fn,
+                batch_size, key, start_epoch, native_loader, metrics,
+                ckpt_dir, tokenizer, src_key, tgt_key, L):
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
         t0 = time.perf_counter()
@@ -276,7 +287,7 @@ def main(argv=None):
             if step_times else None,
         }
         print(json.dumps(epoch_rec))
-        metrics.log(**epoch_rec)
+        metrics.log(step=epoch, event="epoch", **epoch_rec)
 
         if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
             path = save_checkpoint(

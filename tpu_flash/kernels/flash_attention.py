@@ -384,7 +384,11 @@ def _fwd_kernel(
             for h, s2 in enumerate(tiles):
                 chain(s2, h)
 
-        for h in range(q_pack):
+        # Liveness is monotonic in h (sub-tile h+1 ends on a later row, so
+        # every KV tile live for h is live for h+1): the only partial states
+        # are live suffixes, so sub-tile 0 is either covered by the all-live
+        # branch or dead — no partial branch needed for it.
+        for h in range(1, q_pack):
             @pl.when(live[h] & jnp.logical_not(all_live))
             def _partial(h=h):
                 chain(scores(h), h)
@@ -751,11 +755,12 @@ def _bwd_fused_kernel(
 
 
 # dQ-in-VMEM scratch is [pLq, d(+1)] fp32 per core, and the fused kernel
-# also holds the full-sequence dQ *output* block (double-buffered bf16/fp32)
-# on top of the usual tiles — so the scratch budget must leave room for
-# roughly 3x itself.  Sequences past this fall back to the two-pass form
-# (measured OOM at L=16k d=64 with a 6MB budget; 2.5MB keeps the fused path
-# to ~L<=9k at d=64 and compiles everywhere).
+# also holds the full-sequence dQ *output* block (double-buffered in the
+# INPUT dtype) on top of the usual q/k/v/do tiles — so the scratch budget
+# must leave room for roughly 3x itself, and everything except the fp32
+# scratch doubles when the inputs are fp32 (measured: fp32 L=8192 d=64
+# demanded 19.08M scoped vmem against the 16M limit while bf16 L=8192
+# compiles fine).  Sequences past the budget fall back to the two-pass form.
 _FUSED_DQ_VMEM_BUDGET = int(2.5 * 1024 * 1024)
 
 
@@ -838,7 +843,10 @@ def flash_attention_backward(
         q_offset=q_offset, kv_len=Lk, kv_outer=True)
     aug = _fold_l(d)
     dw = d + 1 if aug else d
-    fused = pLq * dw * 4 <= _FUSED_DQ_VMEM_BUDGET
+    budget = _FUSED_DQ_VMEM_BUDGET
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        budget //= 2     # fp32 tiles/output double the non-scratch footprint
+    fused = pLq * dw * 4 <= budget
 
     common_in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),

@@ -128,10 +128,11 @@ class MultiHeadAttention(Module):
         """The three-path attention dispatch (modules_transfomer.py:119-137),
         plus "auto" (size-based kernel-vs-XLA choice).
 
-        ``attn_dropout`` (flash path, training only) runs the in-kernel
-        hash-mask dropout — the reference declares attention dropout but
-        never applies it (modules_transfomer.py:56); here it actually works,
-        seeded from the step key.
+        ``attn_dropout`` (training only) runs attention dropout on every
+        path — the reference declares it but never applies it
+        (modules_transfomer.py:56); here the flash path uses the in-kernel
+        hash mask and the naive/fused dense paths apply the SAME hash mask
+        to the materialized probabilities, all seeded from the step key.
         """
         c = self.cfg
         if k.shape[1] != q.shape[1]:
@@ -144,10 +145,12 @@ class MultiHeadAttention(Module):
         if kind == "auto":
             L, d = q.shape[-2], q.shape[-1]
             kind = "flash" if L * d >= _FLASH_AUTO_MIN_LD else "naive"
+        dropping = training and c.attn_dropout > 0.0 and key is not None
+        if dropping:
+            seed = jax.random.randint(
+                key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
         if kind == "flash":
-            if training and c.attn_dropout > 0.0 and key is not None:
-                seed = jax.random.randint(
-                    key, (), 0, jnp.iinfo(jnp.int32).max, jnp.int32)
+            if dropping:
                 return flash_attention(
                     q, k, v, causal=c.causal,
                     dropout_rate=c.attn_dropout, dropout_seed=seed)
@@ -162,6 +165,12 @@ class MultiHeadAttention(Module):
             if kv_mask is not None:
                 s = s + kv_mask[:, None, None, :].astype(s.dtype)
             p = F.softmax(s, axis=-1)
+        if dropping:
+            from tpu_flash.ops.reference import dropout_keep_oracle
+
+            p = p * dropout_keep_oracle(
+                q.shape[0], q.shape[1], q.shape[2], k.shape[2], seed,
+                c.attn_dropout).astype(p.dtype)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v)
 
     def _cached_attention(self, q, cache):

@@ -123,9 +123,15 @@ def _backward_impl(q, k, v, o, lse, do, causal, impl, dropout_rate=0.0,
             q, k, v, o, lse, do, causal=causal, dropout_rate=dropout_rate,
             dropout_seed=seed)
     if dropout_rate > 0.0:
-        raise NotImplementedError(
-            "dropout backward is pallas-only (the reference oracle is "
-            "forward-only for dropout)")
+        # The dense composition is natively differentiable: recompute the
+        # forward under jax.vjp with the same hash mask.  (The tiled
+        # reference oracle stays dropout-free; dropout always lands here.)
+        def dense(q, k, v):
+            out, _, _ = _forward_impl(q, k, v, causal, "xla", dropout_rate,
+                                      seed)
+            return out
+        _, vjp = jax.vjp(dense, q, k, v)
+        return vjp(do)
     return ref.flash_attention2_bw_reference(q, k, v, o, lse, do, causal=causal)
 
 
