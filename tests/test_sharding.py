@@ -118,3 +118,22 @@ def test_sharded_train_step_matches_single_device(rng, data, model_p):
 
     np.testing.assert_allclose(sharded_losses, single_losses,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_flash_attention_dropout_runs(rng):
+    """Dropout under a parallel context: the seed rides shard_map as a
+    replicated operand; determinism per seed and sensitivity across seeds
+    still hold (masks use shard-local head indices — documented)."""
+    ctx = parallel.make_mesh(data=2, model=4)
+    q, k, v = (jnp.asarray(rng.standard_normal((2, 8, 64, 32)), jnp.float32)
+               for _ in range(3))
+    with parallel.parallel_context(ctx):
+        a = flash_attention(q, k, v, causal=True, dropout_rate=0.3,
+                            dropout_seed=11)
+        b = flash_attention(q, k, v, causal=True, dropout_rate=0.3,
+                            dropout_seed=11)
+        c = flash_attention(q, k, v, causal=True, dropout_rate=0.3,
+                            dropout_seed=12)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert float(jnp.max(jnp.abs(a - c))) > 0.0
+    assert a.sharding.spec == P("data", "model", None, None)
