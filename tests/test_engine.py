@@ -68,3 +68,44 @@ def test_engine_eos_stops_early():
     done = engine.run()
     assert done[0].finished_reason == "eos"
     assert done[0].tokens == []
+
+
+def test_run_many_matches_single_step():
+    """Greedy decode via n-token device steps == per-token stepping."""
+    model, params = make_model()
+
+    def engine():
+        return DecodeEngine(
+            model, params, n_slots=2, max_len=64,
+            sampling=SamplingConfig(max_new_tokens=6))
+
+    eng_a, eng_b = engine(), engine()
+    prompts = [[5, 6, 7], [9, 8], [3, 3, 3, 3]]
+    for i, p in enumerate(prompts):
+        eng_a.submit(Request(i, list(p)))
+        eng_b.submit(Request(i, list(p)))
+    a = {c.uid: (c.tokens, c.finished_reason) for c in eng_a.run()}
+    b = {c.uid: (c.tokens, c.finished_reason) for c in eng_b.run_many(4)}
+    assert a == b
+
+
+def test_run_many_eos_mid_scan_matches():
+    """EOS landing mid-scan retires the slot identically to per-token
+    stepping (device masks post-eos tokens; host discards them)."""
+    model, params = make_model()
+    ref = greedy_reference(model, params, [5, 6, 7], 6)
+    eos = ref[2]   # forces retirement on the 3rd generated token
+
+    def engine():
+        return DecodeEngine(
+            model, params, n_slots=2, max_len=64,
+            sampling=SamplingConfig(max_new_tokens=6, eos_id=eos))
+
+    eng_a, eng_b = engine(), engine()
+    for e in (eng_a, eng_b):
+        e.submit(Request(0, [5, 6, 7]))
+        e.submit(Request(1, [9, 8]))
+    a = {c.uid: (c.tokens, c.finished_reason) for c in eng_a.run()}
+    b = {c.uid: (c.tokens, c.finished_reason) for c in eng_b.run_many(4)}
+    assert a == b
+    assert a[0][1] == "eos" and a[0][0] == ref[:2]

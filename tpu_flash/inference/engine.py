@@ -19,6 +19,7 @@ Host/device split:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Callable
 
 import jax
@@ -70,11 +71,13 @@ class DecodeEngine:
         self.slot_uid: list[int | None] = [None] * n_slots
         self.slot_tokens: list[list[int]] = [[] for _ in range(n_slots)]
         self.slot_budget: list[int] = [0] * n_slots
+        self.slot_len: list[int] = [0] * n_slots    # host mirror of kv lengths
         self.queue: list[Request] = []
         self.completions: list[Completion] = []
 
         self._decode_step = jax.jit(self._decode_step_impl)
-        self._prefill = {}  # bucket -> jitted fn
+        self._prefill = {}       # bucket -> jitted fn
+        self._decode_multi = {}  # n_steps -> jitted fn
 
     # ------------------------------------------------------------------ API
     def submit(self, req: Request) -> None:
@@ -156,10 +159,15 @@ class DecodeEngine:
             self.slot_uid[slot] = req.uid
             self.slot_tokens[slot] = []
             self.slot_budget[slot] = self.sampling.max_new_tokens
-            self._host_emit(slot, tok)
+            self.slot_len[slot] = len(prompt)
+            self._host_emit(slot, tok, self.slot_len[slot])
 
-    def _host_emit(self, slot: int, tok: int) -> None:
-        """Record a generated token; retire the slot on eos/length."""
+    def _host_emit(self, slot: int, tok: int, slot_len: int) -> None:
+        """Record a generated token; retire the slot on eos/length.
+
+        ``slot_len`` is the slot's HOST-KNOWN kv length (reading
+        ``caches[0].lengths[slot]`` here would be a device sync per token —
+        measured at ~100+ ms/token over the tunnel, swamping decode)."""
         uid = self.slot_uid[slot]
         if uid is None:
             return
@@ -172,8 +180,8 @@ class DecodeEngine:
         self.slot_budget[slot] -= 1
         self.last_tokens = self.last_tokens.at[slot].set(tok)
         if (self.slot_budget[slot] <= 0
-                or len(self.slot_tokens[slot])
-                + int(self.caches[0].lengths[slot]) >= self.max_len - 1):
+                or len(self.slot_tokens[slot]) + slot_len
+                >= self.max_len - 1):
             self.completions.append(
                 Completion(uid, self.slot_tokens[slot], "length"))
             self.slot_uid[slot] = None
@@ -190,5 +198,73 @@ class DecodeEngine:
             jnp.asarray(active_mask), sub)
         nxt_host = np.asarray(nxt)
         for slot in range(self.n_slots):
+            self.slot_len[slot] += 1    # every slot's cache appended one
             if active_mask[slot]:
-                self._host_emit(slot, int(nxt_host[slot]))
+                self._host_emit(slot, int(nxt_host[slot]),
+                                self.slot_len[slot])
+
+    # ------------------------------------------------- multi-token stepping
+    def _decode_multi_impl(self, params, caches, tokens, active, key,
+                           n_steps: int):
+        """``n_steps`` decode steps in ONE device program (lax.scan): slots
+        that emit eos go inactive on-device, so a single host round-trip
+        returns up to ``n_steps`` tokens per slot.  This amortizes the
+        per-step host/device latency (the whole point of a serving engine on
+        a remote-attached accelerator: ~tens of ms per round-trip on a
+        tunneled link vs sub-ms per decoded token)."""
+        def body(carry, k):
+            caches, tokens, active = carry
+            nxt, caches = self._decode_step_impl(
+                params, caches, tokens, active, k)
+            emitted = jnp.where(active, nxt, self.pad_id)
+            still = active & (nxt != self.sampling.eos_id)
+            tokens = jnp.where(active, nxt, tokens)
+            return (caches, tokens, still), emitted
+
+        keys = jax.random.split(key, n_steps)
+        (caches, tokens, active), toks = jax.lax.scan(
+            body, (caches, tokens, active), keys)
+        return toks, caches, tokens   # toks: [n_steps, n_slots]
+
+    def step_many(self, n: int) -> None:
+        """Up to ``n`` decode steps per host round-trip.
+
+        Slots finishing mid-scan are retired when the tokens come back (they
+        decode masked garbage until the scan ends — the utilization cost of
+        batching round-trips); refills happen on the next ``admit``.  ``n``
+        is clamped so no active slot can overrun its cache."""
+        active_mask = np.asarray(
+            [u is not None for u in self.slot_uid], bool)
+        if not active_mask.any():
+            return
+        room = self.max_len - 1 - max(
+            self.slot_len[i] for i in range(self.n_slots) if active_mask[i])
+        budget = min(self.slot_budget[s] for s in range(self.n_slots)
+                     if active_mask[s])
+        n_steps = max(1, min(n, room, budget))
+        if n_steps not in self._decode_multi:
+            self._decode_multi[n_steps] = jax.jit(functools.partial(
+                self._decode_multi_impl, n_steps=n_steps))
+        self.key, sub = jax.random.split(self.key)
+        toks, self.caches, last = self._decode_multi[n_steps](
+            self.params, self.caches, self.last_tokens,
+            jnp.asarray(active_mask), sub)
+        self.last_tokens = last
+        toks_host = np.asarray(toks)
+        for slot in range(self.n_slots):
+            self.slot_len[slot] += n_steps
+            if not active_mask[slot]:
+                continue
+            for i in range(n_steps):
+                if self.slot_uid[slot] is None:
+                    break         # retired mid-scan; rest is masked garbage
+                self._host_emit(slot, int(toks_host[i, slot]),
+                                self.slot_len[slot])
+
+    def run_many(self, n: int = 8) -> list[Completion]:
+        """Drain the queue with ``n``-token device steps."""
+        while self.has_work():
+            self.admit()
+            self.step_many(n)
+        out, self.completions = self.completions, []
+        return out
