@@ -185,3 +185,64 @@ def test_generate_uses_decode_kernel_and_matches(rng, quant):
         ids.append(int(jnp.argmax(logits[0, -1])))
     if quant == "none":
         np.testing.assert_array_equal(np.asarray(toks[0]), np.asarray(ids[4:]))
+
+
+def test_beam_size_1_matches_greedy():
+    from tpu_flash.inference.beam import beam_generate
+
+    model, params = make_model()
+    prompts = jnp.asarray([[5, 6, 7, 0], [9, 8, 0, 0]], jnp.int32)
+    lens = jnp.asarray([3, 2], jnp.int32)
+    g_toks, g_n = generate(model, params, prompts, lens,
+                           SamplingConfig(max_new_tokens=6), max_len=32)
+    b_toks, b_n = beam_generate(model, params, prompts, lens, beam_size=1,
+                                max_new_tokens=6, max_len=32, eos_id=-1)
+    np.testing.assert_array_equal(np.asarray(g_toks), np.asarray(b_toks))
+    np.testing.assert_array_equal(np.asarray(g_n), np.asarray(b_n))
+
+
+def test_beam_search_improves_sequence_logprob():
+    """Beam-4's chosen sequence scores >= greedy's under the model."""
+    from tpu_flash.inference.beam import beam_generate
+
+    model, params = make_model()
+    prompts = jnp.asarray([[5, 6, 7, 0], [11, 12, 13, 14]], jnp.int32)
+    lens = jnp.asarray([3, 4], jnp.int32)
+    T = 6
+
+    def seq_logprob(prompt, plen, toks, n):
+        ids = list(np.asarray(prompt)[:plen]) + list(np.asarray(toks)[:n])
+        logits = model(params, jnp.asarray([ids], jnp.int32))[0]
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        total = 0.0
+        for i in range(plen - 1, len(ids) - 1):
+            total += float(lp[i, ids[i + 1]])
+        return total
+
+    g_toks, g_n = generate(model, params, prompts, lens,
+                           SamplingConfig(max_new_tokens=T), max_len=32)
+    b_toks, b_n = beam_generate(model, params, prompts, lens, beam_size=4,
+                                max_new_tokens=T, max_len=32, eos_id=-1,
+                                length_penalty=0.0)  # pure logprob
+    for i in range(2):
+        gs = seq_logprob(prompts[i], int(lens[i]), g_toks[i], int(g_n[i]))
+        bs = seq_logprob(prompts[i], int(lens[i]), b_toks[i], int(b_n[i]))
+        assert bs >= gs - 1e-4, (i, bs, gs)
+
+
+def test_beam_eos_finishes():
+    from tpu_flash.inference.beam import beam_generate
+
+    model, params = make_model()
+    prompts = jnp.asarray([[5, 6, 7, 0]], jnp.int32)
+    lens = jnp.asarray([3], jnp.int32)
+    g_toks, _ = generate(model, params, prompts, lens,
+                         SamplingConfig(max_new_tokens=6), max_len=32)
+    eos = int(np.asarray(g_toks)[0, 1])  # make the greedy 2nd token the eos
+    b_toks, b_n = beam_generate(model, params, prompts, lens, beam_size=3,
+                                max_new_tokens=6, max_len=32, eos_id=eos)
+    n = int(b_n[0])
+    toks = list(np.asarray(b_toks)[0][:n])
+    # finished: last generated token is the eos, and nothing follows it
+    assert toks[-1] == eos
+    assert all(t == 0 for t in np.asarray(b_toks)[0][n:])

@@ -112,9 +112,11 @@ def evaluate_loss(model, params, examples, collate_fn, batch_size):
 
 def generate_translations(model, params, examples, src_key, tgt_key,
                           tokenizer, model_max_length, *, batch_size=16,
-                          max_new_tokens=None, kv_quant="none"):
-    """Batched KV-cache greedy decode for the test set; returns detokenized
-    hypotheses aligned with ``examples``."""
+                          max_new_tokens=None, kv_quant="none",
+                          beam_size=1):
+    """Batched KV-cache decode for the test set (greedy, or beam search for
+    ``beam_size > 1``); returns detokenized hypotheses aligned with
+    ``examples``."""
     eos_tgt = tokenizer.vocab[f"<eos_{tgt_key}>"]
     pad_id = tokenizer.vocab["<pad>"]
     max_new = max_new_tokens or model_max_length
@@ -133,10 +135,19 @@ def generate_translations(model, params, examples, src_key, tgt_key,
         padded = np.full((len(chunk), Lp), pad_id, np.int32)
         for j, p in enumerate(prompts):
             padded[j, :len(p)] = p
-        toks, _ = generate(
-            model, params, jnp.asarray(padded), jnp.asarray(lengths),
-            sampling, max_len=Lp + max_new, pad_id=pad_id,
-            kv_quant=kv_quant)
+        if beam_size > 1:
+            from tpu_flash.inference import beam_generate
+
+            toks, _ = beam_generate(
+                model, params, jnp.asarray(padded), jnp.asarray(lengths),
+                beam_size=beam_size, max_new_tokens=max_new,
+                max_len=Lp + max_new, eos_id=eos_tgt, pad_id=pad_id,
+                kv_quant=kv_quant)
+        else:
+            toks, _ = generate(
+                model, params, jnp.asarray(padded), jnp.asarray(lengths),
+                sampling, max_len=Lp + max_new, pad_id=pad_id,
+                kv_quant=kv_quant)
         toks = np.asarray(toks)
         for j in range(len(chunk)):
             ids = [int(t) for t in toks[j] if int(t) != pad_id
@@ -181,6 +192,8 @@ def main(argv=None):
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-bleu", action="store_true")
+    p.add_argument("--beam-size", type=int, default=1,
+                   help="beam search width for BLEU generation (1 = greedy)")
     p.add_argument("--kv-quant", default="none",
                    choices=("none", "int8", "fp8"),
                    help="KV-cache quantization for BLEU generation "
@@ -299,7 +312,7 @@ def _train_loop(args, model, opt, params, opt_state, dataset, collate_fn,
         if not args.skip_bleu:
             hyps = generate_translations(
                 model, params, dataset["test"], src_key, tgt_key, tokenizer,
-                L, kv_quant=args.kv_quant)
+                L, kv_quant=args.kv_quant, beam_size=args.beam_size)
             scores = evaluate_bleu(dataset["test"], hyps, tgt_key)
             print(json.dumps({"epoch": epoch, **scores}))
             for ex, hyp in list(zip(dataset["test"], hyps))[:3]:

@@ -1,6 +1,7 @@
 """Inference layer: KV-cache (fp/int8/fp8 storage), batched sampling, and
 the continuous-batching decode engine."""
 
+from tpu_flash.inference.beam import beam_generate  # noqa: F401
 from tpu_flash.inference.kv_cache import KVCache  # noqa: F401
 from tpu_flash.inference.sampler import (  # noqa: F401
     SamplingConfig,
