@@ -278,6 +278,8 @@ def main(argv=None):
 def _train_loop(args, model, opt, params, opt_state, dataset, collate_fn,
                 batch_size, key, start_epoch, native_loader, metrics,
                 ckpt_dir, tokenizer, src_key, tgt_key, L):
+    from tpu_flash.utils import save_checkpoint
+
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
         t0 = time.perf_counter()
