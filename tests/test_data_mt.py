@@ -81,3 +81,23 @@ def test_collate_mask_padding(small_corpus):
         n_real = int(np.sum(row != pad))
         if n_real < L:
             assert np.all(batch["label_token_weights"][i][n_real:] == 0)
+
+
+def test_mt_cli_end_to_end_with_checkpoint(tmp_path):
+    """The full CLI main() on CPU: synthetic data, one tiny epoch,
+    checkpoint save + resume restore (would have caught the
+    save_checkpoint scope regression)."""
+    from tpu_flash.apps import machine_translation as app
+
+    args = ["--synthetic", "--n-epochs", "1", "--max-iters-per-epoch", "2",
+            "--samples-per-epoch", "64", "--batch-size", "8",
+            "--model-max-length", "16", "--n-vocab", "300",
+            "--n-embd", "32", "--n-head", "2", "--n-layer", "1",
+            "--checkpoint-every", "1", "--skip-bleu",
+            "--workdir", str(tmp_path)]
+    app.main(args)
+    ckpts = list((tmp_path / "checkpoints").iterdir())
+    assert ckpts, "no checkpoint written"
+    assert (tmp_path / "metrics.jsonl").exists()
+    # resume path restores and runs (same epoch count -> restores, no-op loop)
+    app.main(args + ["--resume"])
