@@ -109,3 +109,21 @@ def test_run_many_eos_mid_scan_matches():
     b = {c.uid: (c.tokens, c.finished_reason) for c in eng_b.run_many(4)}
     assert a == b
     assert a[0][1] == "eos" and a[0][0] == ref[:2]
+
+
+def test_run_many_matches_near_max_len():
+    """Length-based retirement must use the per-token kv length, not the
+    end-of-scan length (regression: step_many retired slots early)."""
+    model, params = make_model()
+
+    def engine():
+        return DecodeEngine(
+            model, params, n_slots=1, max_len=16,
+            sampling=SamplingConfig(max_new_tokens=100))
+
+    eng_a, eng_b = engine(), engine()
+    for e in (eng_a, eng_b):
+        e.submit(Request(0, [5, 6, 7, 8, 9, 10]))
+    a = {c.uid: (c.tokens, c.finished_reason) for c in eng_a.run()}
+    b = {c.uid: (c.tokens, c.finished_reason) for c in eng_b.run_many(8)}
+    assert a == b

@@ -28,7 +28,8 @@ import numpy as np
 
 from tpu_flash import nn
 from tpu_flash.data import mt
-from tpu_flash.inference import SamplingConfig, generate
+from tpu_flash.inference import (SamplingConfig, beam_generate,
+                                 generate)
 
 
 def make_loss_fn(model):
@@ -136,8 +137,6 @@ def generate_translations(model, params, examples, src_key, tgt_key,
         for j, p in enumerate(prompts):
             padded[j, :len(p)] = p
         if beam_size > 1:
-            from tpu_flash.inference import beam_generate
-
             toks, _ = beam_generate(
                 model, params, jnp.asarray(padded), jnp.asarray(lengths),
                 beam_size=beam_size, max_new_tokens=max_new,

@@ -14,13 +14,11 @@ only continuation is <pad> at zero cost), final selection by
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
 from tpu_flash.inference.kv_cache import KVCache
-from tpu_flash.inference.sampler import make_caches
+from tpu_flash.inference.sampler import prefill_prompt
 
 NEG_INF = -1e30
 
@@ -47,23 +45,15 @@ def beam_generate(
     length_penalty: float = 0.6,
 ):
     """Returns (tokens [B, max_new_tokens], lengths [B]) of the best beam."""
-    B, Lp = prompt_ids.shape
+    B = prompt_ids.shape[0]
     W = beam_size
     V = model.cfg.n_vocab
 
     # ---- prefill once per sequence, then tile to B*W beams ----------------
-    caches = make_caches(model, B, max_len, quant=kv_quant,
-                         compute_dtype=model.cfg.dtype)
-    positions = jnp.arange(Lp, dtype=jnp.int32)[None, :].repeat(B, 0)
-    logits, caches = model(params, prompt_ids, kv_caches=caches,
-                           positions=positions)
-    caches = [dataclasses.replace(c, lengths=prompt_lengths.astype(jnp.int32))
-              for c in caches]
+    last, caches = prefill_prompt(model, params, prompt_ids, prompt_lengths,
+                                  max_len=max_len, kv_quant=kv_quant)
     tile = jnp.repeat(jnp.arange(B, dtype=jnp.int32), W)        # [B*W]
     caches = [_gather_cache(c, tile) for c in caches]
-    last = jnp.take_along_axis(
-        logits, (prompt_lengths - 1)[:, None, None].astype(jnp.int32),
-        axis=1)[:, 0, :]                                        # [B, V]
     last = jnp.repeat(last, W, axis=0)                          # [B*W, V]
 
     # beam 0 active, others start at -inf so the first step fans out from a

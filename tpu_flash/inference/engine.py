@@ -162,12 +162,15 @@ class DecodeEngine:
             self.slot_len[slot] = len(prompt)
             self._host_emit(slot, tok, self.slot_len[slot])
 
-    def _host_emit(self, slot: int, tok: int, slot_len: int) -> None:
+    def _host_emit(self, slot: int, tok: int, slot_len: int,
+                   update_last: bool = True) -> None:
         """Record a generated token; retire the slot on eos/length.
 
-        ``slot_len`` is the slot's HOST-KNOWN kv length (reading
-        ``caches[0].lengths[slot]`` here would be a device sync per token —
-        measured at ~100+ ms/token over the tunnel, swamping decode)."""
+        ``slot_len`` is the slot's HOST-KNOWN kv length as of THIS token
+        (reading ``caches[0].lengths[slot]`` here would be a device sync per
+        token — measured at ~100+ ms/token over the tunnel, swamping
+        decode).  ``update_last=False`` skips the ``last_tokens`` device
+        update for callers that already set it wholesale (step_many)."""
         uid = self.slot_uid[slot]
         if uid is None:
             return
@@ -178,7 +181,8 @@ class DecodeEngine:
             return
         self.slot_tokens[slot].append(tok)
         self.slot_budget[slot] -= 1
-        self.last_tokens = self.last_tokens.at[slot].set(tok)
+        if update_last:
+            self.last_tokens = self.last_tokens.at[slot].set(tok)
         if (self.slot_budget[slot] <= 0
                 or len(self.slot_tokens[slot]) + slot_len
                 >= self.max_len - 1):
@@ -252,6 +256,7 @@ class DecodeEngine:
         self.last_tokens = last
         toks_host = np.asarray(toks)
         for slot in range(self.n_slots):
+            base = self.slot_len[slot]
             self.slot_len[slot] += n_steps
             if not active_mask[slot]:
                 continue
@@ -259,7 +264,7 @@ class DecodeEngine:
                 if self.slot_uid[slot] is None:
                     break         # retired mid-scan; rest is masked garbage
                 self._host_emit(slot, int(toks_host[i, slot]),
-                                self.slot_len[slot])
+                                base + i + 1, update_last=False)
 
     def run_many(self, n: int = 8) -> list[Completion]:
         """Drain the queue with ``n``-token device steps."""

@@ -62,6 +62,36 @@ def make_caches(model, batch: int, max_len: int, *, quant: str = "none",
     ]
 
 
+def prefill_prompt(model, params, prompt_ids, prompt_lengths, *,
+                   max_len: int, kv_quant: str = "none"):
+    """Run the padded prompt batch through fresh caches; returns
+    ``(last_logits [B, V], caches)``.
+
+    The cache treats all Lp positions as written; attention masking during
+    prefill is the standard causal mask over the padded block.  Positions
+    beyond a sequence's true length are garbage but are neutralized by
+    clamping per-sequence cache lengths to the TRUE prompt lengths
+    afterwards, so pad positions are never attended in decode.  Shared by
+    ``generate`` and ``beam.beam_generate`` so the padding semantics cannot
+    drift apart.
+    """
+    B, Lp = prompt_ids.shape
+    caches = make_caches(model, B, max_len, quant=kv_quant,
+                         compute_dtype=model.cfg.dtype)
+    positions = jnp.arange(Lp, dtype=jnp.int32)[None, :].repeat(B, 0)
+    logits, caches = model(params, prompt_ids, kv_caches=caches,
+                           positions=positions)
+    caches = [
+        dataclasses.replace(c, lengths=prompt_lengths.astype(jnp.int32))
+        for c in caches
+    ]
+    # Logits of the last *real* prompt token of each sequence:
+    last = jnp.take_along_axis(
+        logits, (prompt_lengths - 1)[:, None, None].astype(jnp.int32), axis=1
+    )[:, 0, :]
+    return last, caches
+
+
 def generate(
     model,
     params,
@@ -76,36 +106,16 @@ def generate(
 ):
     """Returns (tokens [B, max_new_tokens], lengths-of-generation [B]).
 
-    Prefill processes the padded prompt in one pass (cache lengths are set
-    from ``prompt_lengths`` so padding never becomes attendable state), then
-    a jitted while_loop emits up to ``max_new_tokens`` per sequence, stopping
-    early once every sequence has hit ``eos_id``.
+    Prefill processes the padded prompt in one pass (``prefill_prompt``),
+    then a jitted while_loop emits up to ``max_new_tokens`` per sequence,
+    stopping early once every sequence has hit ``eos_id``.
     """
     B, Lp = prompt_ids.shape
     if key is None:
         key = jax.random.key(0)
 
-    caches = make_caches(model, B, max_len, quant=kv_quant,
-                         compute_dtype=model.cfg.dtype)
-
-    # ---- prefill: run the padded prompt through the cache path ------------
-    # The cache treats all Lp positions as written; attention masking during
-    # prefill is the standard causal mask over the padded block. Positions
-    # beyond a sequence's true length are garbage but are masked by fixing
-    # lengths afterwards.
-    positions = jnp.arange(Lp, dtype=jnp.int32)[None, :].repeat(B, 0)
-    logits, caches = model(params, prompt_ids, kv_caches=caches,
-                           positions=positions)
-    # After prefill, clamp per-sequence lengths to the true prompt lengths so
-    # pad positions are never attended in decode.
-    caches = [
-        dataclasses.replace(c, lengths=prompt_lengths.astype(jnp.int32))
-        for c in caches
-    ]
-    # Logits of the last *real* prompt token of each sequence:
-    last = jnp.take_along_axis(
-        logits, (prompt_lengths - 1)[:, None, None].astype(jnp.int32), axis=1
-    )[:, 0, :]
+    last, caches = prefill_prompt(model, params, prompt_ids, prompt_lengths,
+                                  max_len=max_len, kv_quant=kv_quant)
 
     # ---- decode loop ------------------------------------------------------
     caches_flat, caches_tree = jax.tree_util.tree_flatten(caches)
