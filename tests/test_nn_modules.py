@@ -208,3 +208,26 @@ def test_gradient_accumulation_matches_full_batch(rng):
     np.testing.assert_allclose(float(acc_loss), float(full_loss), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(acc_g), np.asarray(full_g),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_skip_nonfinite_updates():
+    from tpu_flash.nn import optim
+
+    tx = optim.skip_nonfinite(optim.adam(0.1))
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    state = tx.init(params)
+
+    good = {"w": jnp.full((3,), 0.5), "b": jnp.full((2,), -0.5)}
+    p1, state = jax.jit(tx.update)(good, state, params)
+    assert float(jnp.max(jnp.abs(p1["w"] - params["w"]))) > 0.0
+    assert int(state.skipped) == 0
+
+    bad = {"w": jnp.asarray([0.1, jnp.nan, 0.2]), "b": good["b"]}
+    p2, state = jax.jit(tx.update)(bad, state, p1)
+    np.testing.assert_array_equal(np.asarray(p2["w"]), np.asarray(p1["w"]))
+    np.testing.assert_array_equal(np.asarray(p2["b"]), np.asarray(p1["b"]))
+    assert int(state.skipped) == 1
+    # inner adam state untouched by the bad step
+    p3, state = jax.jit(tx.update)(good, state, p2)
+    assert int(state.skipped) == 1
+    assert int(state.inner.step) == 2  # two applied steps, one skipped

@@ -26,6 +26,7 @@ from tpu_flash.nn.optim import (  # noqa: F401
     clip_by_global_norm,
     cosine_schedule,
     sgd,
+    skip_nonfinite,
 )
 from tpu_flash.nn.moe import (  # noqa: F401
     MoEConfig,

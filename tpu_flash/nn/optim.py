@@ -170,3 +170,37 @@ def accumulate_gradients(loss_fn, accum_steps: int):
             lambda g: g * inv, grad_sum)
 
     return compute
+
+
+class SkipState(NamedTuple):
+    inner: Any
+    skipped: jax.Array      # int32 count of skipped (non-finite) updates
+
+
+def skip_nonfinite(tx: Transform) -> Transform:
+    """Robustness wrapper: if ANY gradient leaf contains NaN/Inf, leave
+    params and the inner optimizer state untouched and count the skip.
+
+    The failure-detection analog the reference lacks entirely (its kernels
+    ``exit(EXIT_FAILURE)``, SURVEY.md §5.3): one bad batch (overflow spike,
+    corrupted record) no longer poisons Adam moments or weights, and
+    ``state.skipped`` is a cheap training-health metric.  Pure and
+    jit-compatible: the inner update always runs, the results are selected
+    per-leaf with ``jnp.where``.
+    """
+
+    def init(params):
+        return SkipState(tx.init(params), jnp.zeros((), jnp.int32))
+
+    def update(grads, state, params):
+        leaves = jax.tree_util.tree_leaves(grads)
+        finite = jnp.all(jnp.stack(
+            [jnp.all(jnp.isfinite(g)) for g in leaves]))
+        new_params, new_inner = tx.update(grads, state.inner, params)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(finite, n, o), new, old)
+        return keep(new_params, params), SkipState(
+            keep(new_inner, state.inner),
+            state.skipped + jnp.where(finite, 0, 1).astype(jnp.int32))
+
+    return Transform(init, update)
