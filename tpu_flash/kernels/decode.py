@@ -49,6 +49,11 @@ from tpu_flash.kernels.common import (
 # HBM rate, small enough that the fp32 broadcast intermediates fit VMEM.
 DEFAULT_BLOCK_S = 1024
 
+# Double-buffered K+V tile budget (bytes). Grid-step fixed costs are ~1.5us,
+# so tiles must be large enough that their DMA time dominates; sweepable via
+# bench/exp_decode_tiles.py.
+VMEM_TILE_BUDGET = 1 << 21
+
 
 def _decode_kernel(
     lengths_ref,                                   # scalar prefetch [B]
@@ -153,7 +158,8 @@ def flash_decode_attention(
     # caches halve the tile, int8/fp8 double it.
     itemsize = jnp.dtype(k_cache.dtype).itemsize
     cap = 128
-    while (2 * cap) * 2 * H * d * itemsize <= (1 << 21) and cap < (1 << 20):
+    while (2 * cap) * 2 * H * d * itemsize <= VMEM_TILE_BUDGET \
+            and cap < (1 << 20):
         cap *= 2
     block_s = min(block_s, cap)
     block_s = min(block_s, round_up(S, 128))
