@@ -60,7 +60,7 @@ def _decode_kernel(
     q_ref, k_ref, ks_ref, v_ref, vs_ref,           # inputs
     o_ref,                                         # output
     acc_ref, m_ref, l_ref,                         # scratch
-    *, scale, block_s, num_s, quantized,
+    *, scale, block_s, num_s, quantized, window,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -72,7 +72,12 @@ def _decode_kernel(
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when(j * block_s < length)
+    live = j * block_s < length
+    if window is not None:
+        # sliding window: only keys in (length - window, length) attend
+        live = jnp.logical_and(live, (j + 1) * block_s > length - window)
+
+    @pl.when(live)
     def _body():
         # All intermediates keep the [Hkv, g, *] layout — Mosaic cannot
         # relayout middle-singleton squeezes, so nothing is ever reshaped.
@@ -100,6 +105,8 @@ def _decode_kernel(
         s = s * scale
         pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < length, s, MASK_VALUE)
+        if window is not None:
+            s = jnp.where(pos >= length - window, s, MASK_VALUE)
 
         m_prev, l_prev = m_ref[:], l_ref[:]         # [Hkv, g, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -125,7 +132,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_s", "interpret"),
+    static_argnames=("scale", "block_s", "window", "interpret"),
 )
 def flash_decode_attention(
     q: jax.Array,                 # [B, Hq, 1, d] queries (Hq = g * KV heads)
@@ -137,9 +144,15 @@ def flash_decode_attention(
     *,
     scale: float | None = None,
     block_s: int = DEFAULT_BLOCK_S,
+    window: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Single-token attention over the cache; returns [B, H, 1, d]."""
+    """Single-token attention over the cache; returns [B, H, 1, d].
+
+    ``window``: sliding-window decode — only the last ``window`` cached
+    positions attend; tiles before the window repeat the first in-window
+    tile index so their DMA is elided, making decode traffic O(window)
+    regardless of prefix length."""
     if interpret is None:
         interpret = default_interpret()
     B, Hq, Lq, d = q.shape
@@ -186,7 +199,12 @@ def flash_decode_attention(
     def kv_index(b, j, lengths_ref):
         last = jax.lax.max(
             (jax.lax.div(jax.lax.max(lengths_ref[b], 1) - 1, block_s)), 0)
-        return (b, 0, jax.lax.min(j, last), 0)
+        j = jax.lax.min(j, last)
+        if window is not None:
+            first = jax.lax.max(
+                jax.lax.div(lengths_ref[b] - window, block_s), 0)
+            j = jax.lax.max(j, jax.lax.min(first, last))
+        return (b, 0, j, 0)
 
     # Scales: the full [H, S] slab is resident per b — constant block index
     # over the kv loop, so Pallas fetches it once per b instead of issuing
@@ -213,7 +231,7 @@ def flash_decode_attention(
     )
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_s=block_s, num_s=num_s,
-        quantized=quantized)
+        quantized=quantized, window=window)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -99,7 +99,7 @@ def _dot(a, b, dims):
 
 
 def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
-                   kv_len, kv_outer=False):
+                   kv_len, kv_outer=False, window=None):
     """Trace-time schedule of (q_tile, kv_tile) visits.
 
     Returns int32 numpy arrays ``(imap, jmap, flags)`` where flags packs
@@ -119,7 +119,12 @@ def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
             return False          # kv padding tile
         if not causal:
             return True
-        return j * block_k <= q_offset + (i + 1) * block_q - 1
+        if j * block_k > q_offset + (i + 1) * block_q - 1:
+            return False
+        if window is not None and \
+                (j + 1) * block_k - 1 <= q_offset + i * block_q - window:
+            return False
+        return True
 
     def needs_mask(i, j):
         need = (j + 1) * block_k > kv_len
@@ -157,21 +162,27 @@ def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
 
 
 def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
-                     q_offset, kv_len, q_pack):
+                     q_offset, kv_len, q_pack, window=None):
     """Trace-time schedule for the forward: one visit list of
     ``(q_group, kv_tile)`` where a group packs ``q_pack`` consecutive
     ``block_q``-row sub-tiles.  Flags carry FIRST/LAST (accumulator reset /
     output write for the group) plus one LIVE bit per sub-tile
-    (``_LIVE << h``), so a KV tile beyond sub-tile h's causal range skips
-    that half's compute entirely.  ``q_pack=1`` reduces to the classic
-    per-tile schedule."""
+    (``_LIVE << h``), so a KV tile beyond sub-tile h's causal range — or,
+    with ``window``, BEFORE its sliding window — skips that half's compute
+    entirely (the whole-tile analog of Mistral-style local attention).
+    ``q_pack=1`` reduces to the classic per-tile schedule."""
     def half_live(g, h, j):
         if j * block_k >= kv_len:
             return False
         if not causal:
             return True
+        first_row = q_offset + (g * q_pack + h) * block_q
         last_row = q_offset + (g * q_pack + h + 1) * block_q - 1
-        return j * block_k <= last_row
+        if j * block_k > last_row:
+            return False
+        if window is not None and (j + 1) * block_k - 1 <= first_row - window:
+            return False          # tile entirely behind the sliding window
+        return True
 
     entries = []
     for g in range(num_groups):
@@ -192,19 +203,24 @@ def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
     return arr[:, 0], arr[:, 1], arr[:, 2]
 
 
-def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset):
-    """Causal / kv-boundary mask on a base-2 score tile.
+def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset,
+                window=None):
+    """Causal / kv-boundary / sliding-window mask on a base-2 score tile.
 
     ``q_offset = true_kv_len - true_q_len`` aligns the causal diagonal
     bottom-right (query i attends keys <= i + offset), matching
     ``ops.reference.causal_mask`` — the convention that makes single-token
-    decode (Lq=1 against a long cache) attend the whole prefix.
+    decode (Lq=1 against a long cache) attend the whole prefix.  With
+    ``window`` (requires causal), row r attends only keys in
+    ``(r - window, r]``.
     """
     cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
     if causal:
         rows = q_offset + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, s2.shape, 0)
         s2 = jnp.where(cols <= rows, s2, MASK2)
+        if window is not None:
+            s2 = jnp.where(cols > rows - window, s2, MASK2)
     s2 = jnp.where(cols < kv_len, s2, MASK2)
     return s2
 
@@ -293,7 +309,7 @@ def _fwd_kernel(
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
-    quantized, q_pack, dropout_rate,
+    quantized, q_pack, dropout_rate, window,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)   # hoisted: program_id inside pl.when bodies is
@@ -330,7 +346,7 @@ def _fwd_kernel(
             s2 = _apply_mask(
                 s2, imap_ref[t] * q_pack + h, jmap_ref[t],
                 block_q=block_q, block_k=block_k, causal=causal,
-                kv_len=kv_len, q_offset=q_offset)
+                kv_len=kv_len, q_offset=q_offset, window=window)
         return s2
 
     def chain(s2, h):
@@ -384,11 +400,13 @@ def _fwd_kernel(
             for h, s2 in enumerate(tiles):
                 chain(s2, h)
 
-        # Liveness is monotonic in h (sub-tile h+1 ends on a later row, so
-        # every KV tile live for h is live for h+1): the only partial states
-        # are live suffixes, so sub-tile 0 is either covered by the all-live
-        # branch or dead — no partial branch needed for it.
-        for h in range(1, q_pack):
+        # Without a window, liveness is monotonic in h (sub-tile h+1 ends on
+        # a later row, so every KV tile live for h is live for h+1): the
+        # only partial states are live suffixes and sub-tile 0 needs no
+        # partial branch.  A sliding window BREAKS this (a lower sub-tile
+        # can attend a tile the upper one has slid past), so every sub-tile
+        # gets a branch then.
+        for h in range(0 if window is not None else 1, q_pack):
             @pl.when(live[h] & jnp.logical_not(all_live))
             def _partial(h=h):
                 chain(scores(h), h)
@@ -423,7 +441,7 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
-                     "dropout_rate", "interpret"),
+                     "dropout_rate", "window", "interpret"),
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -437,9 +455,15 @@ def flash_attention_forward(
     q_pack: int | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
+    window: int | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention forward over [B, H, L, d] inputs.
+
+    ``window`` (requires ``causal``): sliding-window/local attention — row r
+    attends keys in ``(r - window, r]``; KV tiles entirely behind the
+    window are never visited (no grid step, no DMA), so compute and HBM
+    traffic are O(L·window) instead of O(L²/2).
 
     ``k``/``v`` may be int8 (or fp8) codes with per-position fp32 scales
     ``k_scale``/``v_scale`` of shape [B, H, Lk] — the quantized-KV training
@@ -471,6 +495,8 @@ def flash_attention_forward(
     Lk = k.shape[-2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
     quantized = k_scale is not None
 
     block_q = min(block_q, round_up(Lq, 8))
@@ -503,7 +529,7 @@ def flash_attention_forward(
     num_groups, num_kv = pLq // group_q, pLk // block_k
     imap, jmap, flags = _packed_schedule(
         num_groups, num_kv, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, kv_len=Lk, q_pack=q_pack)
+        q_offset=q_offset, kv_len=Lk, q_pack=q_pack, window=window)
     # Under dropout the softmax normalizer must sum the UNDROPPED p, so it
     # cannot ride the P·V ones column.
     fold_l = _fold_l(d) and dropout_rate == 0.0
@@ -514,6 +540,7 @@ def flash_attention_forward(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
         quantized=quantized, q_pack=q_pack, dropout_rate=dropout_rate,
+        window=window,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -574,7 +601,7 @@ def flash_attention_forward(
 
 def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
               block_k, kv_len, padded_kv, q_offset, d,
-              dropout_rate=0.0, bh=None, seed=None):
+              dropout_rate=0.0, bh=None, seed=None, window=None):
     """Shared backward recompute for one (q, kv) tile pair: returns
     ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
     the three cannot drift apart.  ``p_dv`` is the matrix that left-multiplies
@@ -595,7 +622,7 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
     if causal or padded_kv:
         s2 = _apply_mask(
             s2, i, j, block_q=block_q, block_k=block_k,
-            causal=causal, kv_len=kv_len, q_offset=q_offset)
+            causal=causal, kv_len=kv_len, q_offset=q_offset, window=window)
     lse2 = jnp.where(jnp.isneginf(lse), jnp.inf, lse * LOG2E)
     p = jnp.exp2(s2 - lse2)                         # [bq, bk]
     dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
@@ -617,7 +644,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate,
+    quantized, dropout_rate, window,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
@@ -641,7 +668,7 @@ def _bwd_dkv_kernel(
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
             dropout_rate=dropout_rate, bh=bh,
-            seed=seed_ref[0])
+            seed=seed_ref[0], window=window)
         # dV += P^T dO   (ones column: see _ones_col — discarded on store)
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
@@ -661,7 +688,7 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate,
+    quantized, dropout_rate, window,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
@@ -683,7 +710,7 @@ def _bwd_dq_kernel(
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
             dropout_rate=dropout_rate, bh=bh,
-            seed=seed_ref[0])
+            seed=seed_ref[0], window=window)
         # dQ += dS K  (tau applied once at the end)
         dq_acc[:] += _dot(ds.astype(k.dtype),
                           _ones_col(k) if aug else k, ((1,), (0,)))
@@ -699,7 +726,7 @@ def _bwd_fused_kernel(
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps, quantized, dropout_rate,
+    n_steps, quantized, dropout_rate, window,
 ):
     """Single-pass backward: dK/dV accumulate per KV tile as in
     ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
@@ -735,7 +762,7 @@ def _bwd_fused_kernel(
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
             dropout_rate=dropout_rate, bh=bh,
-            seed=seed_ref[0])
+            seed=seed_ref[0], window=window)
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
         dk_acc[:] += _dot(ds.astype(q.dtype),
@@ -767,7 +794,7 @@ _FUSED_DQ_VMEM_BUDGET = int(2.5 * 1024 * 1024)
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k",
-                     "dropout_rate", "interpret"),
+                     "dropout_rate", "window", "interpret"),
 )
 def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -782,6 +809,7 @@ def flash_attention_backward(
     block_k: int = DEFAULT_BLOCK_K_BWD,
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
+    window: int | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention backward: returns (dq, dk, dv) for [B, H, L, d] inputs.
@@ -801,6 +829,8 @@ def flash_attention_backward(
     Lk = k.shape[-2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
+    if window is not None and not causal:
+        raise ValueError("window requires causal=True")
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
@@ -840,7 +870,7 @@ def flash_attention_backward(
 
     kv_imap, kv_jmap, kv_flags = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, kv_len=Lk, kv_outer=True)
+        q_offset=q_offset, kv_len=Lk, kv_outer=True, window=window)
     aug = _fold_l(d)
     dw = d + 1 if aug else d
     budget = _FUSED_DQ_VMEM_BUDGET
@@ -869,7 +899,7 @@ def flash_attention_backward(
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
             n_steps=len(kv_imap), quantized=quantized,
-            dropout_rate=dropout_rate,
+            dropout_rate=dropout_rate, window=window,
         )
         fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -907,7 +937,7 @@ def flash_attention_backward(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        quantized=quantized, dropout_rate=dropout_rate,
+        quantized=quantized, dropout_rate=dropout_rate, window=window,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -935,12 +965,12 @@ def flash_attention_backward(
 
     q_imap, q_jmap, q_flags = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, kv_len=Lk, kv_outer=False)
+        q_offset=q_offset, kv_len=Lk, kv_outer=False, window=window)
     dq_kernel = functools.partial(
         _bwd_dq_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        quantized=quantized, dropout_rate=dropout_rate,
+        quantized=quantized, dropout_rate=dropout_rate, window=window,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

@@ -70,6 +70,7 @@ class DecoderConfig:
     causal: bool = True
     attention_kind: AttentionKind = "flash"       # use_flash_attention
     attn_dropout: float = 0.0                     # in-kernel attention dropout
+    window: int | None = None                     # sliding-window attention
     use_fused_kernel: bool = False                # fused softmax + LN switch
     dtype: Any = jnp.float32
     # TPU-first extras
@@ -152,16 +153,26 @@ class MultiHeadAttention(Module):
         if kind == "flash":
             if dropping:
                 return flash_attention(
-                    q, k, v, causal=c.causal,
+                    q, k, v, causal=c.causal, window=c.window,
                     dropout_rate=c.attn_dropout, dropout_seed=seed)
-            return flash_attention(q, k, v, causal=c.causal)
+            return flash_attention(q, k, v, causal=c.causal,
+                                   window=c.window)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         if kind == "fused":
+            if c.window is not None:
+                raise NotImplementedError(
+                    "window is not expressible in the fused attn_softmax "
+                    "kernel's [B, Lk] mask; use flash or naive")
             p = attn_softmax(s, kv_mask, mask_future=c.causal)
         else:
             if c.causal:
                 s = s + causal_mask(q.shape[-2], k.shape[-2], s.dtype)
+                if c.window is not None:
+                    from tpu_flash.ops.reference import window_mask
+
+                    s = s + window_mask(q.shape[-2], k.shape[-2], c.window,
+                                        s.dtype)
             if kv_mask is not None:
                 s = s + kv_mask[:, None, None, :].astype(s.dtype)
             p = F.softmax(s, axis=-1)
@@ -191,7 +202,7 @@ class MultiHeadAttention(Module):
             if ctx is None:
                 return flash_decode_attention(
                     q, cache.k, cache.v, cache.lengths,
-                    cache.k_scale, cache.v_scale)
+                    cache.k_scale, cache.v_scale, window=c.window)
             Hkv = cache.k.shape[1]
             if (q.shape[0] % ctx.data_size == 0
                     and q.shape[1] % ctx.model_size == 0
@@ -228,6 +239,14 @@ class MultiHeadAttention(Module):
             v_full = jnp.repeat(v_full, g, axis=1)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_full) * scale
         s = s + cache.attention_mask(q.shape[2])[:, None, :, :].astype(s.dtype)
+        if c.window is not None:
+            # absolute query positions: this step's tokens end at lengths-1
+            Lq_, S_ = q.shape[2], k_full.shape[2]
+            qpos = (cache.lengths[:, None] - Lq_
+                    + jnp.arange(Lq_, dtype=jnp.int32)[None, :])  # [B, Lq]
+            kpos = jnp.arange(S_, dtype=jnp.int32)
+            band = kpos[None, None, :] > (qpos[:, :, None] - c.window)
+            s = s + jnp.where(band, 0.0, -1e9)[:, None, :, :].astype(s.dtype)
         p = F.softmax(s, axis=-1)
         return jnp.einsum("bhqk,bhkd->bhqd", p, v_full)
 

@@ -86,13 +86,14 @@ _flash_attention_quantkv.defvjp(
     _flash_attention_quantkv_fwd, _flash_attention_quantkv_bwd)
 
 
-def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0):
+def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0,
+                  window=None):
     """Returns (out, lse, m) under the chosen implementation."""
     if impl == "pallas":
         return flash_attention_forward(
             q, k, v, causal=causal, dropout_rate=dropout_rate,
-            dropout_seed=seed)
-    if impl == "reference" and dropout_rate == 0.0:
+            dropout_seed=seed, window=window)
+    if impl == "reference" and dropout_rate == 0.0 and window is None:
         out, lse = ref.flash_attention2_fw_reference(q, k, v, causal=causal)
         # m is only needed for FA1-style residual reporting.
         _, l1, m1 = ref.flash_attention1_fw_reference(q, k, v, causal=causal)
@@ -105,6 +106,8 @@ def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0):
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     if causal:
         s = s + ref.causal_mask(q.shape[-2], k.shape[-2], s.dtype)
+        if window is not None:
+            s = s + ref.window_mask(q.shape[-2], k.shape[-2], window, s.dtype)
     lse = jax.nn.logsumexp(s, axis=-1)
     m = jnp.max(s, axis=-1)
     probs = jax.nn.softmax(s, axis=-1)
@@ -117,18 +120,18 @@ def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0):
 
 
 def _backward_impl(q, k, v, o, lse, do, causal, impl, dropout_rate=0.0,
-                   seed=0):
+                   seed=0, window=None):
     if impl == "pallas":
         return flash_attention_backward(
             q, k, v, o, lse, do, causal=causal, dropout_rate=dropout_rate,
-            dropout_seed=seed)
-    if dropout_rate > 0.0:
+            dropout_seed=seed, window=window)
+    if dropout_rate > 0.0 or window is not None:
         # The dense composition is natively differentiable: recompute the
-        # forward under jax.vjp with the same hash mask.  (The tiled
-        # reference oracle stays dropout-free; dropout always lands here.)
+        # forward under jax.vjp with the same masks.  (The tiled reference
+        # oracle stays dropout/window-free; those always land here.)
         def dense(q, k, v):
             out, _, _ = _forward_impl(q, k, v, causal, "xla", dropout_rate,
-                                      seed)
+                                      seed, window)
             return out
         _, vjp = jax.vjp(dense, q, k, v)
         return vjp(do)
@@ -140,21 +143,23 @@ def _seed_cotangent(seed):
     return np.zeros(np.shape(seed), jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention(q, k, v, seed, causal, impl, dropout_rate):
-    out, _, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, seed, causal, impl, dropout_rate, window):
+    out, _, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed,
+                              window)
     return out
 
 
-def _flash_attention_fwd(q, k, v, seed, causal, impl, dropout_rate):
-    out, lse, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed)
+def _flash_attention_fwd(q, k, v, seed, causal, impl, dropout_rate, window):
+    out, lse, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed,
+                                window)
     return out, (q, k, v, out, lse, seed)
 
 
-def _flash_attention_bwd(causal, impl, dropout_rate, residuals, do):
+def _flash_attention_bwd(causal, impl, dropout_rate, window, residuals, do):
     q, k, v, out, lse, seed = residuals
     dq, dk, dv = _backward_impl(q, k, v, out, lse, do, causal, impl,
-                                dropout_rate, seed)
+                                dropout_rate, seed, window)
     return dq, dk, dv, _seed_cotangent(seed)
 
 
@@ -170,8 +175,14 @@ def flash_attention(
     kv_quant: str = "none",
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
+    window: int | None = None,
 ) -> jax.Array:
     """Flash attention over [B, H, L, d] inputs; differentiable.
+
+    ``window`` (requires causal): sliding-window/local attention — row r
+    attends keys in (r - window, r]; compute and HBM traffic are
+    O(L*window).  New capability vs the reference (Mistral-style local
+    attention).
 
     ``version`` selects the FA1/FA2 residual convention (both backed by the
     same TPU kernels), ``impl`` overrides the registry default
@@ -199,14 +210,21 @@ def flash_attention(
     impl = resolve_impl(impl)
     dropout_rate = float(dropout_rate)
     seed = jnp.asarray(dropout_seed, jnp.int32)
-    if dropout_rate > 0.0 and impl == "reference":
-        impl = "xla"  # the dropout-capable dense oracle form
+    if window is not None:
+        if not causal:
+            raise ValueError("window requires causal=True")
+        window = int(window)
+    if (dropout_rate > 0.0 or window is not None) and impl == "reference":
+        impl = "xla"  # the dropout/window-capable dense oracle form
     if kv_quant != "none":
         if kv_quant not in ("int8", "fp8"):
             raise ValueError(f"kv_quant must be 'none', 'int8' or 'fp8', "
                              f"got {kv_quant!r}")
         if impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
+        if window is not None:
+            raise NotImplementedError(
+                "kv_quant with window is not supported yet")
         return _flash_attention_quantkv(
             q, k, v, seed, causal, dropout_rate, kv_quant)
 
@@ -225,12 +243,13 @@ def flash_attention(
             # the unsharded layout when dropout is on.
             fn = jax.shard_map(
                 lambda q, k, v, s: _flash_attention(
-                    q, k, v, s, causal, impl, dropout_rate),
+                    q, k, v, s, causal, impl, dropout_rate, window),
                 mesh=ctx.mesh, in_specs=(spec, spec, spec, P()),
                 out_specs=spec, check_vma=False)
             return fn(q, k, v, seed)
         impl = "xla"  # indivisible shapes: let GSPMD partition the graph
-    return _flash_attention(q, k, v, seed, causal, impl, dropout_rate)
+    return _flash_attention(q, k, v, seed, causal, impl, dropout_rate,
+                            window)
 
 
 def flash_attention_with_residuals(

@@ -386,3 +386,13 @@ def dropout_keep_oracle(B, H, Lq, Lk, seed, rate):
         lambda b: dropout_keep_mask(rows, cols, b, seed, rate)))(bh)
     return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)),
                      jnp.float32(0.0))
+
+
+def window_mask(seq_q, seq_k, window, dtype=jnp.float32):
+    """Additive sliding-window lower-bound mask (combine with causal_mask):
+    bottom-right-aligned row r attends keys in (r + offset - window,
+    r + offset]."""
+    offset = seq_k - seq_q
+    rows = jnp.arange(seq_q)[:, None] + offset
+    cols = jnp.arange(seq_k)[None, :]
+    return jnp.where(cols > rows - window, 0.0, -1e9).astype(dtype)
