@@ -71,3 +71,52 @@ def test_gqa_cached_decode_matches_full_forward(rng, quant):
         np.testing.assert_allclose(
             np.asarray(logits[:, 0]), np.asarray(full[:, t]), **tol,
             err_msg=f"step {t}")
+
+
+def test_training_kernel_native_gqa_fwd_bwd(rng):
+    """flash_attention with Hkv < Hq (no repeat) == repeated-KV MHA, both
+    forward and grads (dk/dv group-summed)."""
+    import tpu_flash
+
+    B, Hq, Hkv, L, d = 1, 4, 2, 192, 64
+    q = jnp.asarray(rng.standard_normal((B, Hq, L, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, d)) * 0.5, jnp.float32)
+    do = jnp.asarray(rng.standard_normal((B, Hq, L, d)), jnp.float32)
+    kr = jnp.repeat(k, 2, axis=1)
+    vr = jnp.repeat(v, 2, axis=1)
+
+    with jax.default_matmul_precision("highest"):
+        out = tpu_flash.flash_attention(q, k, v, causal=True, impl="pallas")
+        want = tpu_flash.flash_attention(q, kr, vr, causal=True,
+                                         impl="pallas")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+        g_gqa = jax.grad(lambda q, k, v: jnp.sum(tpu_flash.flash_attention(
+            q, k, v, causal=True, impl="pallas") * do), (0, 1, 2))(q, k, v)
+        g_rep = jax.grad(lambda q, k, v: jnp.sum(tpu_flash.flash_attention(
+            q, k, v, causal=True, impl="pallas") * do), (0, 1, 2))(q, kr, vr)
+    np.testing.assert_allclose(np.asarray(g_gqa[0]), np.asarray(g_rep[0]),
+                               rtol=1e-4, atol=1e-5)
+    # repeated-KV dk summed over groups == native GQA dk
+    for i in (1, 2):
+        summed = np.asarray(g_rep[i]).reshape(B, Hkv, 2, L, d).sum(2)
+        np.testing.assert_allclose(np.asarray(g_gqa[i]), summed,
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_training_kernel_gqa_with_window_and_dropout(rng):
+    import tpu_flash
+
+    B, Hq, Hkv, L, d = 1, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, Hq, L, d)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, d)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, d)) * 0.5, jnp.float32)
+    out = tpu_flash.flash_attention(q, k, v, causal=True, window=64,
+                                    impl="pallas")
+    want = tpu_flash.flash_attention(q, jnp.repeat(k, 2, 1),
+                                     jnp.repeat(v, 2, 1), causal=True,
+                                     window=64, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)

@@ -492,6 +492,11 @@ def flash_attention_forward(
     if interpret is None:
         interpret = default_interpret()
     B, H, Lq, d = q.shape
+    Hkv = k.shape[1]
+    if H % Hkv:
+        raise ValueError(f"query heads ({H}) must be a multiple of KV "
+                         f"heads ({Hkv})")
+    g = H // Hkv                 # GQA group size (1 = MHA)
     Lk = k.shape[-2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
@@ -513,18 +518,25 @@ def flash_attention_forward(
     padded_kv = pLk != Lk
     q_offset = Lk - Lq
 
+    # Native GQA: the grid runs over QUERY heads; K/V (and scale) index
+    # maps fold the flat query-head index onto its KV head, so grouped
+    # query heads share one stream of KV tiles — no materialized repeat,
+    # and KV HBM traffic is divided by the group size.
+    def kv_bh(bh):
+        return (bh // H) * Hkv + (bh % H) // g
+
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
-    kf = pad_to(k.reshape(B * H, Lk, d), 1, pLk)
-    vf = pad_to(v.reshape(B * H, Lk, d), 1, pLk)
+    kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
+    vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
     if quantized:
-        ksf = pad_to(k_scale.reshape(B * H, Lk, 1), 1, pLk)
-        vsf = pad_to(v_scale.reshape(B * H, Lk, 1), 1, pLk)
+        ksf = pad_to(k_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
+        vsf = pad_to(v_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
         scale_block = (1, block_k, 1)
-        scale_index = lambda b, t, im, jm, *r: (b, jm[t], 0)
+        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
     else:
-        ksf = vsf = jnp.ones((B * H, 1, 1), jnp.float32)
+        ksf = vsf = jnp.ones((B * Hkv, 1, 1), jnp.float32)
         scale_block = (1, 1, 1)
-        scale_index = lambda b, t, im, jm, *r: (b, 0, 0)
+        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, 0)
 
     num_groups, num_kv = pLq // group_q, pLk // block_k
     imap, jmap, flags = _packed_schedule(
@@ -547,8 +559,10 @@ def flash_attention_forward(
         grid=(B * H, len(imap)),
         in_specs=[
             pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
+            pl.BlockSpec((1, block_k, d),
+                         lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
             pl.BlockSpec(scale_block, scale_index),
             pl.BlockSpec(scale_block, scale_index),
         ],
@@ -781,6 +795,15 @@ def _bwd_fused_kernel(
         dq_ref[0] = (scale * dq_acc[:, :d]).astype(dq_ref.dtype)
 
 
+def _group_sum(x, B, Hkv, g, Lk, d):
+    """Sum per-query-head dK/dV over each GQA group -> [B, Hkv, Lk, d]
+    (fp32 accumulation; identity reshape for MHA)."""
+    if g == 1:
+        return x.reshape(B, Hkv, Lk, d)
+    return x.astype(jnp.float32).reshape(B, Hkv, g, Lk, d).sum(2).astype(
+        x.dtype)
+
+
 # dQ-in-VMEM scratch is [pLq, d(+1)] fp32 per core, and the fused kernel
 # also holds the full-sequence dQ *output* block (double-buffered in the
 # INPUT dtype) on top of the usual q/k/v/do tiles — so the scratch budget
@@ -826,6 +849,11 @@ def flash_attention_backward(
     if interpret is None:
         interpret = default_interpret()
     B, H, Lq, d = q.shape
+    Hkv = k.shape[1]
+    if H % Hkv:
+        raise ValueError(f"query heads ({H}) must be a multiple of KV "
+                         f"heads ({Hkv})")
+    g = H // Hkv
     Lk = k.shape[-2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
@@ -846,22 +874,28 @@ def flash_attention_backward(
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
 
+    # Native GQA (see the forward): K/V reads fold onto the KV head; the
+    # dK/dV OUTPUTS stay per-QUERY-head (each grid row accumulates its own
+    # group member's contribution race-free) and are group-summed after.
+    def kv_bh(bh):
+        return (bh // H) * Hkv + (bh % H) // g
+
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
-    kf = pad_to(k.reshape(B * H, Lk, d), 1, pLk)
-    vf = pad_to(v.reshape(B * H, Lk, d), 1, pLk)
+    kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
+    vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
     dof = pad_to(do.reshape(B * H, Lq, d), 1, pLq)
     lsef = pad_to(lse.reshape(B * H, Lq, 1), 1, pLq)
     deltaf = pad_to(delta.reshape(B * H, Lq, 1), 1, pLq)
     quantized = k_scale is not None
     if quantized:
-        ksf = pad_to(k_scale.reshape(B * H, Lk, 1), 1, pLk)
-        vsf = pad_to(v_scale.reshape(B * H, Lk, 1), 1, pLk)
+        ksf = pad_to(k_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
+        vsf = pad_to(v_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
         scale_block = (1, block_k, 1)
-        scale_index = lambda b, t, im, jm, *r: (b, jm[t], 0)
+        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
     else:
-        ksf = vsf = jnp.ones((B * H, 1, 1), jnp.float32)
+        ksf = vsf = jnp.ones((B * Hkv, 1, 1), jnp.float32)
         scale_block = (1, 1, 1)
-        scale_index = lambda b, t, im, jm, *r: (b, 0, 0)
+        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, 0)
     # gradients are w.r.t. the (dequantized) fp values
     grad_dtype = q.dtype
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
@@ -880,8 +914,10 @@ def flash_attention_backward(
 
     common_in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
-        pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
+        pl.BlockSpec((1, block_k, d),
+                     lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
         pl.BlockSpec(scale_block, scale_index),
         pl.BlockSpec(scale_block, scale_index),
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
@@ -929,8 +965,7 @@ def flash_attention_backward(
         )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
           seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
         dq = dq[:, :Lq].reshape(B, H, Lq, d)
-        dk = dk[:, :Lk].reshape(B, H, Lk, d)
-        dv = dv[:, :Lk].reshape(B, H, Lk, d)
+        dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
         return dq, dk, dv
 
     dkv_kernel = functools.partial(
@@ -997,6 +1032,5 @@ def flash_attention_backward(
       seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
-    dk = dk[:, :Lk].reshape(B, H, Lk, d)
-    dv = dv[:, :Lk].reshape(B, H, Lk, d)
+    dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
     return dq, dk, dv

@@ -136,16 +136,18 @@ class MultiHeadAttention(Module):
         to the materialized probabilities, all seeded from the step key.
         """
         c = self.cfg
-        if k.shape[1] != q.shape[1]:
-            # GQA: repeat each KV head across its query group for the full
-            # [B, H, L, d] paths (the decode kernel handles groups natively).
-            g = q.shape[1] // k.shape[1]
-            k = jnp.repeat(k, g, axis=1)
-            v = jnp.repeat(v, g, axis=1)
         kind = c.attention_kind
         if kind == "auto":
             L, d = q.shape[-2], q.shape[-1]
             kind = "flash" if L * d >= _FLASH_AUTO_MIN_LD else "naive"
+        if kind != "flash" and k.shape[1] != q.shape[1]:
+            # GQA: the dense [B, H, L, d] paths repeat each KV head across
+            # its query group; the flash kernel (like the decode kernel)
+            # handles groups natively via its K/V index maps — no repeat,
+            # 1/g the KV traffic.
+            g = q.shape[1] // k.shape[1]
+            k = jnp.repeat(k, g, axis=1)
+            v = jnp.repeat(v, g, axis=1)
         dropping = training and c.attn_dropout > 0.0 and key is not None
         if dropping:
             seed = jax.random.randint(

@@ -102,6 +102,10 @@ def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0,
     # "xla" (and the dropout form of "reference"): plain composition with
     # lse computed directly; dropout applies the SAME hash mask as the
     # kernel (ref.dropout_keep_oracle) to the softmax probabilities.
+    if k.shape[1] != q.shape[1]:        # GQA: dense form repeats KV heads
+        rep = q.shape[1] // k.shape[1]
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     scale = ref.default_scale(q.shape[-1])
     s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
     if causal:
