@@ -152,3 +152,16 @@ def test_model_window_paths_agree(rng):
     np.testing.assert_allclose(np.asarray(step[0, 0]),
                                np.asarray(full[0, -1]),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_window_with_int8_kv(rng):
+    q, k, v = (jnp.asarray(rng.standard_normal((1, 2, 192, 64)) * 0.5,
+                           jnp.float32) for _ in range(3))
+    out = tpu_flash.flash_attention(q, k, v, causal=True, window=64,
+                                    kv_quant="int8")
+    base = tpu_flash.flash_attention(q, k, v, causal=True, window=64)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                               atol=5e-2, rtol=5e-2)
+    g = jax.grad(lambda q: jnp.sum(tpu_flash.flash_attention(
+        q, k, v, causal=True, window=64, kv_quant="int8")))(q)
+    assert bool(jnp.all(jnp.isfinite(g)))

@@ -51,14 +51,16 @@ def _quantize_kv(x, mode="int8"):
     return codes, scales.astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_attention_quantkv(q, k, v, seed, causal, dropout_rate, mode):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention_quantkv(q, k, v, seed, causal, dropout_rate, mode,
+                             window):
     out, _ = _flash_attention_quantkv_fwd(
-        q, k, v, seed, causal, dropout_rate, mode)
+        q, k, v, seed, causal, dropout_rate, mode, window)
     return out
 
 
-def _flash_attention_quantkv_fwd(q, k, v, seed, causal, dropout_rate, mode):
+def _flash_attention_quantkv_fwd(q, k, v, seed, causal, dropout_rate, mode,
+                                 window):
     """Quantized-KV flash attention (BASELINE's INT8-KV FA2 fw+bw): K/V are
     quantized to int8 codes + per-position scales, BOTH the forward and the
     backward recompute consume the codes (dequant fused in VMEM,
@@ -70,15 +72,15 @@ def _flash_attention_quantkv_fwd(q, k, v, seed, causal, dropout_rate, mode):
     vc, vs = _quantize_kv(v, mode)
     out, lse, _ = flash_attention_forward(
         q, kc, vc, ks, vs, causal=causal, dropout_rate=dropout_rate,
-        dropout_seed=seed)
+        dropout_seed=seed, window=window)
     return out, (q, kc, ks, vc, vs, out, lse, seed)
 
 
-def _flash_attention_quantkv_bwd(causal, dropout_rate, mode, res, do):
+def _flash_attention_quantkv_bwd(causal, dropout_rate, mode, window, res, do):
     q, kc, ks, vc, vs, out, lse, seed = res
     dq, dk, dv = flash_attention_backward(
         q, kc, vc, out, lse, do, None, ks, vs, causal=causal,
-        dropout_rate=dropout_rate, dropout_seed=seed)
+        dropout_rate=dropout_rate, dropout_seed=seed, window=window)
     return dq, dk, dv, _seed_cotangent(seed)
 
 
@@ -226,11 +228,8 @@ def flash_attention(
                              f"got {kv_quant!r}")
         if impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
-        if window is not None:
-            raise NotImplementedError(
-                "kv_quant with window is not supported yet")
         return _flash_attention_quantkv(
-            q, k, v, seed, causal, dropout_rate, kv_quant)
+            q, k, v, seed, causal, dropout_rate, kv_quant, window)
 
     from tpu_flash.parallel.context import current_context
 
