@@ -16,6 +16,31 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def sweep_tiles():
+    """--sweep-tiles: re-measure bf16 decode across VMEM tile budgets (the
+    tuning procedure behind decode.VMEM_TILE_BUDGET's default)."""
+    from tpu_flash.kernels import decode
+    from tpu_flash.utils.timing import benchmark
+
+    rng = np.random.default_rng(0)
+    B, H, S, d = 8, 8, 8192, 64
+    q = jnp.asarray(rng.standard_normal((B, H, 1, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.bfloat16)
+    lengths = jnp.asarray([S] * B, jnp.int32)
+    results = {}
+    for budget_kib in (512, 1024, 2048, 4096, 8192):
+        decode.VMEM_TILE_BUDGET = budget_kib << 10
+        t = benchmark(
+            lambda q: decode.flash_decode_attention(q, k, v, lengths),
+            q, name=f"tiles_{budget_kib}KiB").mean_ms
+        results[f"{budget_kib}KiB"] = {
+            "ms": round(t, 4),
+            "GBps": round(B * H * S * d * 2 * 2 / (t * 1e-3) / 1e9),
+        }
+    print(json.dumps(results), flush=True)
+
+
 def main():
     from tpu_flash.kernels.decode import flash_decode_attention as fda
     from tpu_flash.utils.timing import benchmark
@@ -66,4 +91,7 @@ def main():
     }), flush=True)
 
 
-main()
+if "--sweep-tiles" in sys.argv:
+    sweep_tiles()
+else:
+    main()

@@ -127,3 +127,23 @@ def test_run_many_matches_near_max_len():
     a = {c.uid: (c.tokens, c.finished_reason) for c in eng_a.run()}
     b = {c.uid: (c.tokens, c.finished_reason) for c in eng_b.run_many(8)}
     assert a == b
+
+
+def test_run_many_staggered_budgets_matches_reference():
+    """Slots admitted at different times have different remaining budgets;
+    step_many must not clamp the scan length to the smallest one (that would
+    degrade to per-token round-trips) and must still emit exactly the right
+    tokens for every request (mid-scan budget retirement discards the rest)."""
+    model, params = make_model()
+    engine = DecodeEngine(
+        model, params, n_slots=2, max_len=64,
+        sampling=SamplingConfig(max_new_tokens=7))
+    prompts = {1: [5, 6, 7], 2: [9, 8], 3: [11, 12, 13], 4: [3, 4]}
+    for uid, p in prompts.items():
+        engine.submit(Request(uid, p))
+    done = engine.run_many(5)
+    assert sorted(c.uid for c in done) == [1, 2, 3, 4]
+    for c in done:
+        exp = greedy_reference(model, params, prompts[c.uid], 7)
+        assert c.tokens == exp[:len(c.tokens)] and len(c.tokens) == 7, (
+            c.uid, c.tokens, exp)

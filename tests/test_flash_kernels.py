@@ -248,7 +248,8 @@ def test_fp8_kv_attention_fwd_bwd(rng):
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(full),
                                atol=0.12, rtol=0.12)
 
-    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, True, 0.0, "fp8")
+    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, True, 0.0, "fp8",
+                                         None)
     assert res[1].dtype == jnp.float8_e4m3fn
     assert res[3].dtype == jnp.float8_e4m3fn
 

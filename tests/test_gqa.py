@@ -120,3 +120,58 @@ def test_training_kernel_gqa_with_window_and_dropout(rng):
                                      window=64, impl="pallas")
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_gqa_xla_impl_grads_match_pallas(rng):
+    """The non-pallas fallback must differentiate GQA shapes: its residuals
+    hold the unrepeated Hkv-head k/v, so the backward repeats them for the
+    tiled oracle and group-sums dk/dv (regression: it used to crash with an
+    einsum shape error)."""
+    from tpu_flash.ops import flash_attention
+
+    B, Hq, Hkv, L, d = 1, 4, 2, 64, 32
+    q = jnp.asarray(rng.standard_normal((B, Hq, L, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, L, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, L, d)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((B, Hq, L, d)), jnp.float32)
+
+    def loss(impl):
+        return lambda q, k, v: jnp.sum(
+            flash_attention(q, k, v, causal=True, impl=impl) * do)
+
+    gx = jax.grad(loss("xla"), (0, 1, 2))(q, k, v)
+    gp = jax.grad(loss("pallas"), (0, 1, 2))(q, k, v)
+    for a, b in zip(gx, gp):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_mqa_trains_under_tensor_parallel(rng):
+    """MQA (Hkv=1) under a model-parallel context: the single KV head cannot
+    shard over model_size>1, so attention must fall back to the
+    GSPMD-partitioned graph — the train step runs and matches the unsharded
+    loss (regression: the shard_map guard only checked query heads and
+    crashed on the k/v specs)."""
+    from tpu_flash import parallel
+
+    model, params = _model(1)
+    ids = jnp.asarray(rng.integers(0, 64, (4, 32)), jnp.int32)
+
+    def loss_fn(params):
+        logits = model(params, ids)
+        return jnp.mean(logits.astype(jnp.float32) ** 2)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params)
+
+    ctx = parallel.make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    try:
+        parallel.set_parallel_context(ctx)
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+    finally:
+        parallel.set_parallel_context(None)
+    np.testing.assert_allclose(float(loss), float(ref_loss),
+                               atol=1e-5, rtol=1e-5)
+    a = jax.tree_util.tree_leaves(grads)[0]
+    b = jax.tree_util.tree_leaves(ref_grads)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               atol=1e-4, rtol=1e-4)

@@ -165,3 +165,19 @@ def test_window_with_int8_kv(rng):
     g = jax.grad(lambda q: jnp.sum(tpu_flash.flash_attention(
         q, k, v, causal=True, window=64, kv_quant="int8")))(q)
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_window_zero_rejected(rng):
+    """window=0 (a plausible 'disabled' spelling) would silently zero every
+    attention output via the empty-band/empty-row convention — it must raise
+    instead, at both the op and the config level."""
+    q = k = v = jnp.zeros((1, 1, 64, 64), jnp.float32)
+    with pytest.raises(ValueError):
+        tpu_flash.flash_attention(q, k, v, causal=True, window=0)
+    with pytest.raises(ValueError):
+        tpu_flash.flash_attention(q, k, v, causal=True, window=-3)
+    from tpu_flash import nn
+    with pytest.raises(ValueError):
+        nn.DecoderConfig(window=0)
+    with pytest.raises(ValueError):
+        nn.DecoderConfig(causal=False, window=8)

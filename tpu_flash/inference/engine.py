@@ -241,11 +241,14 @@ class DecodeEngine:
             [u is not None for u in self.slot_uid], bool)
         if not active_mask.any():
             return
+        # Only the cache-capacity clamp is required: a slot exhausting its
+        # token budget mid-scan is retired by _host_emit and its remaining
+        # scan tokens discarded, exactly like max_len retirement.  Clamping
+        # to min(budgets) would degrade the whole batch to per-token
+        # round-trips whenever one slot is nearly done.
         room = self.max_len - 1 - max(
             self.slot_len[i] for i in range(self.n_slots) if active_mask[i])
-        budget = min(self.slot_budget[s] for s in range(self.n_slots)
-                     if active_mask[s])
-        n_steps = max(1, min(n, room, budget))
+        n_steps = max(1, min(n, room))
         if n_steps not in self._decode_multi:
             self._decode_multi[n_steps] = jax.jit(functools.partial(
                 self._decode_multi_impl, n_steps=n_steps))

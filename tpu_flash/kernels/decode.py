@@ -51,7 +51,8 @@ DEFAULT_BLOCK_S = 1024
 
 # Double-buffered K+V tile budget (bytes). Grid-step fixed costs are ~1.5us,
 # so tiles must be large enough that their DMA time dominates; sweepable via
-# bench/exp_decode_tiles.py.
+# `python bench/bench_decode.py --sweep-tiles` (measured flat at 378-385 GB/s
+# from 512 through 4096-key tiles — the pattern's HBM ceiling, bench/RESULTS.md).
 VMEM_TILE_BUDGET = 1 << 21
 
 

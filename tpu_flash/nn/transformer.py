@@ -87,6 +87,16 @@ class DecoderConfig:
             raise ValueError(
                 f"n_head ({self.n_head}) must be a multiple of n_kv_head "
                 f"({self.n_kv_head})")
+        if self.window is not None:
+            # Validate here so every attention path (flash raises, but the
+            # naive/fused dense paths would otherwise silently ignore the
+            # window for non-causal models) behaves identically.
+            if not self.causal:
+                raise ValueError("window requires causal=True")
+            if self.window < 1:
+                raise ValueError(
+                    f"window must be >= 1 (got {self.window}); use "
+                    f"window=None to disable sliding-window attention")
 
     @property
     def attn_hidden_dim(self) -> int:
@@ -220,14 +230,14 @@ class MultiHeadAttention(Module):
                 if cache.k_scale is None:
                     fn = jax.shard_map(
                         lambda q, k, v, ln: flash_decode_attention(
-                            q, k, v, ln),
+                            q, k, v, ln, window=c.window),
                         mesh=ctx.mesh,
                         in_specs=(hspec, hspec, hspec, lspec),
                         out_specs=hspec, check_vma=False)
                     return fn(q, cache.k, cache.v, cache.lengths)
                 fn = jax.shard_map(
                     lambda q, k, v, ln, ks, vs: flash_decode_attention(
-                        q, k, v, ln, ks, vs),
+                        q, k, v, ln, ks, vs, window=c.window),
                     mesh=ctx.mesh,
                     in_specs=(hspec, hspec, hspec, lspec, hspec, hspec),
                     out_specs=hspec, check_vma=False)

@@ -141,6 +141,18 @@ def _backward_impl(q, k, v, o, lse, do, causal, impl, dropout_rate=0.0,
             return out
         _, vjp = jax.vjp(dense, q, k, v)
         return vjp(do)
+    if k.shape[1] != q.shape[1]:
+        # GQA: the tiled oracle needs H-head k/v (the forward repeated them);
+        # repeat for the recompute, then sum the per-query-head dk/dv over
+        # each group back to the Hkv-head input shape.
+        B, Hkv, Lk, d = k.shape
+        g = q.shape[1] // Hkv
+        dq, dk, dv = ref.flash_attention2_bw_reference(
+            q, jnp.repeat(k, g, axis=1), jnp.repeat(v, g, axis=1),
+            o, lse, do, causal=causal)
+        dk = dk.reshape(B, Hkv, g, Lk, d).sum(2)
+        dv = dv.reshape(B, Hkv, g, Lk, d).sum(2)
+        return dq, dk, dv
     return ref.flash_attention2_bw_reference(q, k, v, o, lse, do, causal=causal)
 
 
@@ -220,6 +232,12 @@ def flash_attention(
         if not causal:
             raise ValueError("window requires causal=True")
         window = int(window)
+        if window < 1:
+            # window=0 would make the keep-band (r-0, r] empty and silently
+            # zero every attention output; reject rather than degenerate.
+            raise ValueError(
+                f"window must be >= 1 (got {window}); use window=None to "
+                f"disable sliding-window attention")
     if (dropout_rate > 0.0 or window is not None) and impl == "reference":
         impl = "xla"  # the dropout/window-capable dense oracle form
     if kv_quant != "none":
@@ -235,8 +253,12 @@ def flash_attention(
 
     ctx = current_context()
     if ctx is not None and impl == "pallas":
-        B, H = q.shape[0], q.shape[1]
-        if B % ctx.data_size == 0 and H % ctx.model_size == 0:
+        B, H, Hkv = q.shape[0], q.shape[1], k.shape[1]
+        # Hkv must divide too: GQA/MQA k/v carry fewer heads than q but are
+        # sharded with the same head-axis spec (e.g. MQA's Hkv=1 can never
+        # split over model_size>1 — fall back to the GSPMD-partitioned graph).
+        if (B % ctx.data_size == 0 and H % ctx.model_size == 0
+                and Hkv % ctx.model_size == 0):
             from jax.sharding import PartitionSpec as P
 
             spec = P(ctx.data_axis, ctx.model_axis, None, None)
