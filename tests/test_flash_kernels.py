@@ -205,8 +205,8 @@ def test_int8_kv_attention_fwd_bwd(rng):
                                atol=5e-2, rtol=5e-2)
 
     # residuals are int8 codes, not fp tensors
-    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, True, 0.0, "int8",
-                                         None)
+    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, None, True, 0.0,
+                                         "int8", None)
     assert res[1].dtype == jnp.int8 and res[3].dtype == jnp.int8
 
     # gradients: quantized path == fp path on the dequantized k/v (for q),
@@ -248,8 +248,8 @@ def test_fp8_kv_attention_fwd_bwd(rng):
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(full),
                                atol=0.12, rtol=0.12)
 
-    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, True, 0.0, "fp8",
-                                         None)
+    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, None, True, 0.0,
+                                         "fp8", None)
     assert res[1].dtype == jnp.float8_e4m3fn
     assert res[3].dtype == jnp.float8_e4m3fn
 

@@ -37,7 +37,10 @@ def make_loss_fn(model):
         """Masked MLE, averaged over all positions — the reference's exact
         semantics (loss * weights then mean over every position,
         run_machine_translation.py:157-181)."""
-        logits = model(params, batch["input_ids"], key=key, training=training)
+        logits = model(params, batch["input_ids"],
+                       segment_ids=batch.get("segment_ids"),
+                       positions=batch.get("positions"),
+                       key=key, training=training)
         losses = nn.functional.softmax_loss(logits, batch["labels"])
         return jnp.mean(losses * batch["label_token_weights"])
     return loss_fn
@@ -186,6 +189,10 @@ def main(argv=None):
     p.add_argument("--attention-kind", default="flash",
                    choices=["flash", "fused", "naive", "auto"])
     p.add_argument("--use-fused-kernel", action="store_true")
+    p.add_argument("--pack", action="store_true",
+                   help="sequence-packed training: fill each row with "
+                        "multiple examples under segment-id attention "
+                        "masking (no pad-token FLOPs)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--workdir", default=None)
@@ -218,6 +225,21 @@ def main(argv=None):
 
     def collate_fn(examples):
         return mt.collate_batch(examples, src_key, tgt_key, tokenizer, L)
+
+    train_collate_fn = collate_fn
+    if args.pack:
+        # Fix the packed row count once (from the corpus head) so the jitted
+        # train step compiles exactly once; short batches pad with zero-
+        # weight rows, overfull ones trim (those examples return next epoch).
+        probe = mt.collate_packed(
+            dataset["train"][:batch_size], src_key, tgt_key, tokenizer, L)
+        pack_rows = max(1, probe["input_ids"].shape[0])
+        print(json.dumps({"pack_rows": pack_rows,
+                          "examples_per_step": batch_size}))
+
+        def train_collate_fn(examples):
+            return mt.collate_packed(examples, src_key, tgt_key, tokenizer,
+                                     L, fixed_rows=pack_rows)
 
     cfg = nn.DecoderConfig(
         n_vocab=args.n_vocab, n_embd=args.n_embd, n_head=args.n_head,
@@ -267,14 +289,16 @@ def main(argv=None):
     metrics = MetricsLogger(os.path.join(workdir, "metrics.jsonl"),
                             run={"event_args": vars(args)})
     try:
-        _train_loop(args, model, opt, params, opt_state, dataset, collate_fn,
+        _train_loop(args, model, opt, params, opt_state, dataset,
+                    train_collate_fn, collate_fn,
                     batch_size, key, start_epoch, native_loader, metrics,
                     ckpt_dir, tokenizer, src_key, tgt_key, L)
     finally:
         metrics.close()
 
 
-def _train_loop(args, model, opt, params, opt_state, dataset, collate_fn,
+def _train_loop(args, model, opt, params, opt_state, dataset,
+                train_collate_fn, collate_fn,
                 batch_size, key, start_epoch, native_loader, metrics,
                 ckpt_dir, tokenizer, src_key, tgt_key, L):
     from tpu_flash.utils import save_checkpoint
@@ -283,7 +307,7 @@ def _train_loop(args, model, opt, params, opt_state, dataset, collate_fn,
         key, ekey = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, losses, step_times = train_epoch(
-            model, opt, params, opt_state, dataset["train"], collate_fn,
+            model, opt, params, opt_state, dataset["train"], train_collate_fn,
             batch_size, ekey, n_samples=args.samples_per_epoch,
             max_iters=args.max_iters_per_epoch, native_loader=native_loader,
             metrics=metrics)

@@ -194,3 +194,87 @@ def collate_batch(
         "labels": np.asarray(labels_out, np.int32),
         "label_token_weights": np.asarray(weights_out, np.float32),
     }
+
+
+def collate_packed(
+    examples,
+    src_key: str,
+    tgt_key: str,
+    tokenizer,
+    row_length: int,
+    max_rows: int | None = None,
+    fixed_rows: int | None = None,
+) -> dict[str, np.ndarray]:
+    """Sequence-packed collation: greedily fills ``row_length``-token rows
+    with whole ``src + <eos_src> + tgt + <eos_tgt>`` examples and emits
+    ``segment_ids`` / ``positions`` so attention and position embeddings
+    stay per-example (ops.flash_attention ``segment_ids``).
+
+    TPU-first replacement for the reference's fixed-length padding collate
+    (run_machine_translation.py:87-154): instead of padding every example to
+    ``model_max_length`` (and spending FLOPs on pad tokens), multiple
+    examples share a row and only the row tail is padded.  Label semantics
+    per example match ``collate_batch(mask_padding=True)`` except the final
+    (target-eos) position, which predicts nothing here and weighs 0 — the
+    fixed-length collate gives it weight 1 predicting the first pad, a
+    meaningless term this collate drops.  Labels never cross segment
+    boundaries.
+
+    Returns input_ids / labels / label_token_weights / segment_ids /
+    positions, all ``[rows, row_length]``.  Examples longer than
+    ``row_length`` are truncated to it (same as the reference's clamp).
+    ``fixed_rows`` pads (with all-pad, zero-weight rows) or trims the batch
+    to a static row count so one jitted train step serves every batch.
+    """
+    pad_id = tokenizer.vocab["<pad>"]
+    rows = []            # each: list of (ids, n_src) tuples
+    cur, cur_len = [], 0
+    for ex in examples:
+        ids_src = tokenizer(f"{ex[src_key]}<eos_{src_key}>")["input_ids"]
+        ids_tgt = tokenizer(f"{ex[tgt_key]}<eos_{tgt_key}>")["input_ids"]
+        ids = (ids_src + ids_tgt)[:row_length]
+        if cur_len + len(ids) > row_length:
+            rows.append(cur)
+            cur, cur_len = [], 0
+            if max_rows is not None and len(rows) >= max_rows:
+                break
+        cur.append((ids, len(ids_src)))
+        cur_len += len(ids)
+    if cur and (max_rows is None or len(rows) < max_rows):
+        rows.append(cur)
+    if fixed_rows is not None:
+        rows = rows[:fixed_rows]
+        while len(rows) < fixed_rows:
+            rows.append([])               # all-pad row, zero loss weight
+
+    n = len(rows)
+    input_ids = np.full((n, row_length), pad_id, np.int32)
+    labels = np.full((n, row_length), pad_id, np.int32)
+    weights = np.zeros((n, row_length), np.float32)
+    # pads get their own segment id (one per row, after the real examples)
+    segment_ids = np.zeros((n, row_length), np.int32)
+    positions = np.zeros((n, row_length), np.int32)
+    for r, row in enumerate(rows):
+        off = 0
+        for sid, (ids, n_src) in enumerate(row):
+            ln = len(ids)
+            input_ids[r, off:off + ln] = ids
+            # next-token labels WITHIN the segment; the last token of each
+            # example predicts pad (weight 0 there anyway unless it is the
+            # target's eos predecessor — handled by the shift below).
+            labels[r, off:off + ln - 1] = ids[1:]
+            weights[r, off:off + ln] = 1.0
+            weights[r, off:off + min(ln, n_src - 1)] = 0.0
+            weights[r, off + ln - 1] = 0.0   # last position predicts nothing
+            segment_ids[r, off:off + ln] = sid
+            positions[r, off:off + ln] = np.arange(ln)
+            off += ln
+        segment_ids[r, off:] = len(row)      # pad-tail segment
+        positions[r, off:] = np.arange(row_length - off)
+    return {
+        "input_ids": input_ids,
+        "labels": labels,
+        "label_token_weights": weights,
+        "segment_ids": segment_ids,
+        "positions": positions,
+    }

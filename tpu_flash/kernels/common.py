@@ -31,11 +31,12 @@ def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
 
 
-def pad_to(x: jax.Array, axis: int, target: int) -> jax.Array:
-    """Zero-pad `axis` of x up to length `target` (no-op if already there)."""
+def pad_to(x: jax.Array, axis: int, target: int, fill=0) -> jax.Array:
+    """Pad `axis` of x up to length `target` with `fill` (no-op if already
+    there)."""
     cur = x.shape[axis]
     if cur == target:
         return x
     pads = [(0, 0)] * x.ndim
     pads[axis] = (0, target - cur)
-    return jnp.pad(x, pads)
+    return jnp.pad(x, pads, constant_values=fill)

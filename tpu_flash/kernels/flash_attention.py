@@ -204,15 +204,19 @@ def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
 
 
 def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset,
-                window=None):
-    """Causal / kv-boundary / sliding-window mask on a base-2 score tile.
+                window=None, qseg=None, kseg=None):
+    """Causal / kv-boundary / sliding-window / segment mask on a base-2
+    score tile.
 
     ``q_offset = true_kv_len - true_q_len`` aligns the causal diagonal
     bottom-right (query i attends keys <= i + offset), matching
     ``ops.reference.causal_mask`` — the convention that makes single-token
     decode (Lq=1 against a long cache) attend the whole prefix.  With
     ``window`` (requires causal), row r attends only keys in
-    ``(r - window, r]``.
+    ``(r - window, r]``.  With ``qseg``/``kseg`` ([bq, 1] / [1, bk] int32
+    segment-id tiles), rows attend only keys of the SAME segment — the
+    packed-sequence (block-diagonal) form used to train on concatenated
+    examples without cross-contamination.
     """
     cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
     if causal:
@@ -221,6 +225,8 @@ def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset,
         s2 = jnp.where(cols <= rows, s2, MASK2)
         if window is not None:
             s2 = jnp.where(cols > rows - window, s2, MASK2)
+    if qseg is not None:
+        s2 = jnp.where(qseg == kseg, s2, MASK2)
     s2 = jnp.where(cols < kv_len, s2, MASK2)
     return s2
 
@@ -306,10 +312,11 @@ def _tile_keep_scale(i_tile, j_tile, shape, *, block_q, block_k, bh, seed,
 def _fwd_kernel(
     imap_ref, jmap_ref, flags_ref, seed_ref,  # prefetched schedule + seed
     q_ref, k_ref, v_ref, ks_ref, vs_ref,   # inputs (scales used if quantized)
+    qseg_ref, kseg_ref,               # segment ids (dummies if not segmented)
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
-    quantized, q_pack, dropout_rate, window,
+    quantized, q_pack, dropout_rate, window, segmented,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)   # hoisted: program_id inside pl.when bodies is
@@ -342,11 +349,13 @@ def _fwd_kernel(
         q = (q_ref[0, sel].astype(jnp.float32) * (scale * LOG2E)).astype(
             q_ref.dtype)                            # [bq, d]
         s2 = _dot(_pad_contract(q, d), kp, ((1,), (1,)))  # [bq, bk]
-        if causal or padded_kv:
+        if causal or padded_kv or segmented:
             s2 = _apply_mask(
                 s2, imap_ref[t] * q_pack + h, jmap_ref[t],
                 block_q=block_q, block_k=block_k, causal=causal,
-                kv_len=kv_len, q_offset=q_offset, window=window)
+                kv_len=kv_len, q_offset=q_offset, window=window,
+                qseg=qseg_ref[0, sel] if segmented else None,
+                kseg=kseg_ref[0] if segmented else None)
         return s2
 
     def chain(s2, h):
@@ -456,9 +465,17 @@ def flash_attention_forward(
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
     window: int | None = None,
+    segment_ids: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention forward over [B, H, L, d] inputs.
+
+    ``segment_ids`` ([B, L] int32, requires Lq == Lk): packed-sequence
+    attention — position i attends position j only when their segment ids
+    are equal (composed with the causal/window masks).  This is how multiple
+    examples are trained in one row without padding waste or
+    cross-contamination; new capability vs the reference (whose collate
+    pads every row to model_max_length, run_machine_translation.py:87-154).
 
     ``window`` (requires ``causal``): sliding-window/local attention — row r
     attends keys in ``(r - window, r]``; KV tiles entirely behind the
@@ -503,6 +520,9 @@ def flash_attention_forward(
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
     quantized = k_scale is not None
+    segmented = segment_ids is not None
+    if segmented and Lq != k.shape[-2]:
+        raise ValueError("segment_ids requires Lq == Lk (packed training)")
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
@@ -538,6 +558,21 @@ def flash_attention_forward(
         scale_block = (1, 1, 1)
         scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, 0)
 
+    if segmented:
+        seg = segment_ids.astype(jnp.int32)
+        # Two layouts of the same [B, L] ids: rows as [B, pLq, 1] (the lse
+        # pattern) and keys as [B, 1, pLk]; padding gets -1, but padded keys
+        # are masked by kv_len and padded rows are sliced off anyway.
+        qsegf = pad_to(seg[:, :, None], 1, pLq, fill=-1)
+        ksegf = pad_to(seg[:, None, :], 2, pLk, fill=-1)
+        qseg_block, kseg_block = (1, group_q, 1), (1, 1, block_k)
+        qseg_index = lambda b, t, im, jm, *r: (b // H, im[t], 0)
+        kseg_index = lambda b, t, im, jm, *r: (b // H, 0, jm[t])
+    else:
+        qsegf = ksegf = jnp.zeros((B, 1, 1), jnp.int32)
+        qseg_block = kseg_block = (1, 1, 1)
+        qseg_index = kseg_index = lambda b, t, im, jm, *r: (b // H, 0, 0)
+
     num_groups, num_kv = pLq // group_q, pLk // block_k
     imap, jmap, flags = _packed_schedule(
         num_groups, num_kv, block_q=block_q, block_k=block_k, causal=causal,
@@ -552,7 +587,7 @@ def flash_attention_forward(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
         quantized=quantized, q_pack=q_pack, dropout_rate=dropout_rate,
-        window=window,
+        window=window, segmented=segmented,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -565,6 +600,8 @@ def flash_attention_forward(
                          lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
             pl.BlockSpec(scale_block, scale_index),
             pl.BlockSpec(scale_block, scale_index),
+            pl.BlockSpec(qseg_block, qseg_index),
+            pl.BlockSpec(kseg_block, kseg_index),
         ],
         out_specs=[
             pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
@@ -577,15 +614,15 @@ def flash_attention_forward(
         ] + ([] if fold_l else [pltpu.VMEM((group_q, 1), jnp.float32)]),
     )
 
-    def kernel_wrapper(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r,
+    def kernel_wrapper(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r, ks2_r,
                        o_r, lse_r, m_r, *scratch):
         if fold_l:
             acc, m_s = scratch
-            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r,
+            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r, ks2_r,
                    o_r, lse_r, m_r, acc, m_s, None)
         else:
             acc, m_s, l_s = scratch
-            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r,
+            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r, ks2_r,
                    o_r, lse_r, m_r, acc, m_s, l_s)
 
     out, lse, m = pl.pallas_call(
@@ -601,7 +638,7 @@ def flash_attention_forward(
         ),
         interpret=interpret,
     )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags), seed_arr,
-      qf, kf, vf, ksf, vsf)
+      qf, kf, vf, ksf, vsf, qsegf, ksegf)
 
     out = out[:, :Lq].reshape(B, H, Lq, d)
     lse = lse[:, :Lq, 0].reshape(B, H, Lq)
@@ -615,7 +652,8 @@ def flash_attention_forward(
 
 def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
               block_k, kv_len, padded_kv, q_offset, d,
-              dropout_rate=0.0, bh=None, seed=None, window=None):
+              dropout_rate=0.0, bh=None, seed=None, window=None,
+              qseg=None, kseg=None):
     """Shared backward recompute for one (q, kv) tile pair: returns
     ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
     the three cannot drift apart.  ``p_dv`` is the matrix that left-multiplies
@@ -633,10 +671,11 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
     """
     qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     s2 = _dot(_pad_contract(qs, d), _pad_contract(k, d), ((1,), (1,)))
-    if causal or padded_kv:
+    if causal or padded_kv or qseg is not None:
         s2 = _apply_mask(
             s2, i, j, block_q=block_q, block_k=block_k,
-            causal=causal, kv_len=kv_len, q_offset=q_offset, window=window)
+            causal=causal, kv_len=kv_len, q_offset=q_offset, window=window,
+            qseg=qseg, kseg=kseg)
     lse2 = jnp.where(jnp.isneginf(lse), jnp.inf, lse * LOG2E)
     p = jnp.exp2(s2 - lse2)                         # [bq, bk]
     dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
@@ -654,11 +693,12 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
 
 def _bwd_dkv_kernel(
     imap_ref, jmap_ref, flags_ref, seed_ref,
-    q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
+    do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate, window,
+    quantized, dropout_rate, window, segmented,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
@@ -682,7 +722,9 @@ def _bwd_dkv_kernel(
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
             dropout_rate=dropout_rate, bh=bh,
-            seed=seed_ref[0], window=window)
+            seed=seed_ref[0], window=window,
+            qseg=qseg_ref[0] if segmented else None,
+            kseg=kseg_ref[0] if segmented else None)
         # dV += P^T dO   (ones column: see _ones_col — discarded on store)
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
@@ -698,11 +740,12 @@ def _bwd_dkv_kernel(
 
 def _bwd_dq_kernel(
     imap_ref, jmap_ref, flags_ref, seed_ref,
-    q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
+    do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate, window,
+    quantized, dropout_rate, window, segmented,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
@@ -724,7 +767,9 @@ def _bwd_dq_kernel(
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
             dropout_rate=dropout_rate, bh=bh,
-            seed=seed_ref[0], window=window)
+            seed=seed_ref[0], window=window,
+            qseg=qseg_ref[0] if segmented else None,
+            kseg=kseg_ref[0] if segmented else None)
         # dQ += dS K  (tau applied once at the end)
         dq_acc[:] += _dot(ds.astype(k.dtype),
                           _ones_col(k) if aug else k, ((1,), (0,)))
@@ -736,11 +781,12 @@ def _bwd_dq_kernel(
 
 def _bwd_fused_kernel(
     imap_ref, jmap_ref, flags_ref, seed_ref,
-    q_ref, k_ref, v_ref, ks_ref, vs_ref, do_ref, lse_ref, delta_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
+    do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps, quantized, dropout_rate, window,
+    n_steps, quantized, dropout_rate, window, segmented,
 ):
     """Single-pass backward: dK/dV accumulate per KV tile as in
     ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
@@ -776,7 +822,9 @@ def _bwd_fused_kernel(
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
             dropout_rate=dropout_rate, bh=bh,
-            seed=seed_ref[0], window=window)
+            seed=seed_ref[0], window=window,
+            qseg=qseg_ref[0] if segmented else None,
+            kseg=kseg_ref[0] if segmented else None)
         dv_acc[:] += _dot(p.astype(do.dtype),
                           _ones_col(do) if aug else do, ((0,), (0,)))
         dk_acc[:] += _dot(ds.astype(q.dtype),
@@ -833,6 +881,7 @@ def flash_attention_backward(
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
     window: int | None = None,
+    segment_ids: jax.Array | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention backward: returns (dq, dk, dv) for [B, H, L, d] inputs.
@@ -899,6 +948,20 @@ def flash_attention_backward(
     # gradients are w.r.t. the (dequantized) fp values
     grad_dtype = q.dtype
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
+    segmented = segment_ids is not None
+    if segmented:
+        if Lq != Lk:
+            raise ValueError("segment_ids requires Lq == Lk (packed training)")
+        seg = segment_ids.astype(jnp.int32)
+        qsegf = pad_to(seg[:, :, None], 1, pLq, fill=-1)
+        ksegf = pad_to(seg[:, None, :], 2, pLk, fill=-1)
+        qseg_block, kseg_block = (1, block_q, 1), (1, 1, block_k)
+        qseg_index = lambda b, t, im, jm, *r: (b // H, im[t], 0)
+        kseg_index = lambda b, t, im, jm, *r: (b // H, 0, jm[t])
+    else:
+        qsegf = ksegf = jnp.zeros((B, 1, 1), jnp.int32)
+        qseg_block = kseg_block = (1, 1, 1)
+        qseg_index = kseg_index = lambda b, t, im, jm, *r: (b // H, 0, 0)
 
     num_q, num_kv = pLq // block_q, pLk // block_k
 
@@ -920,6 +983,8 @@ def flash_attention_backward(
                      lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
         pl.BlockSpec(scale_block, scale_index),
         pl.BlockSpec(scale_block, scale_index),
+        pl.BlockSpec(qseg_block, qseg_index),
+        pl.BlockSpec(kseg_block, kseg_index),
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
         pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
         pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
@@ -935,7 +1000,7 @@ def flash_attention_backward(
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
             n_steps=len(kv_imap), quantized=quantized,
-            dropout_rate=dropout_rate, window=window,
+            dropout_rate=dropout_rate, window=window, segmented=segmented,
         )
         fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
@@ -963,7 +1028,7 @@ def flash_attention_backward(
             ),
             interpret=interpret,
         )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-          seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
+          seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf, dof, lsef, deltaf)
         dq = dq[:, :Lq].reshape(B, H, Lq, d)
         dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
         return dq, dk, dv
@@ -973,6 +1038,7 @@ def flash_attention_backward(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
         quantized=quantized, dropout_rate=dropout_rate, window=window,
+        segmented=segmented,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -996,7 +1062,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-      seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
+      seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf, dof, lsef, deltaf)
 
     q_imap, q_jmap, q_flags = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
@@ -1006,6 +1072,7 @@ def flash_attention_backward(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
         quantized=quantized, dropout_rate=dropout_rate, window=window,
+        segmented=segmented,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1029,7 +1096,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(q_imap), jnp.asarray(q_jmap), jnp.asarray(q_flags),
-      seed_arr, qf, kf, vf, ksf, vsf, dof, lsef, deltaf)
+      seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf, dof, lsef, deltaf)
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
     dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))

@@ -134,8 +134,8 @@ class MultiHeadAttention(Module):
         v = split(self.v_projection(params["v_projection"], x), c.kv_heads)
         return q, k, v
 
-    def self_attention(self, q, k, v, *, kv_mask=None, key=None,
-                       training=False):
+    def self_attention(self, q, k, v, *, kv_mask=None, segment_ids=None,
+                       key=None, training=False):
         """The three-path attention dispatch (modules_transfomer.py:119-137),
         plus "auto" (size-based kernel-vs-XLA choice).
 
@@ -166,9 +166,10 @@ class MultiHeadAttention(Module):
             if dropping:
                 return flash_attention(
                     q, k, v, causal=c.causal, window=c.window,
+                    segment_ids=segment_ids,
                     dropout_rate=c.attn_dropout, dropout_seed=seed)
             return flash_attention(q, k, v, causal=c.causal,
-                                   window=c.window)
+                                   window=c.window, segment_ids=segment_ids)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         if kind == "fused":
@@ -176,6 +177,10 @@ class MultiHeadAttention(Module):
                 raise NotImplementedError(
                     "window is not expressible in the fused attn_softmax "
                     "kernel's [B, Lk] mask; use flash or naive")
+            if segment_ids is not None:
+                raise NotImplementedError(
+                    "segment_ids is not expressible in the fused "
+                    "attn_softmax kernel's [B, Lk] mask; use flash or naive")
             p = attn_softmax(s, kv_mask, mask_future=c.causal)
         else:
             if c.causal:
@@ -185,6 +190,10 @@ class MultiHeadAttention(Module):
 
                     s = s + window_mask(q.shape[-2], k.shape[-2], c.window,
                                         s.dtype)
+            if segment_ids is not None:
+                same = (segment_ids[:, None, :, None]
+                        == segment_ids[:, None, None, :])
+                s = jnp.where(same, s, jnp.asarray(-1e7, s.dtype))
             if kv_mask is not None:
                 s = s + kv_mask[:, None, None, :].astype(s.dtype)
             p = F.softmax(s, axis=-1)
@@ -264,9 +273,13 @@ class MultiHeadAttention(Module):
 
     def __call__(self, params: Params, x: jax.Array, *,
                  kv_cache=None, kv_mask=None, positions=None,
-                 key=None, training: bool = False):
+                 segment_ids=None, key=None, training: bool = False):
         B, L, E = x.shape
         c = self.cfg
+        if segment_ids is not None and kv_cache is not None:
+            raise NotImplementedError(
+                "segment_ids (packed training) is not supported on the "
+                "cached decode path")
         q, k, v = self.project_to_query_key_value(params, x)
         if c.positional == "rope":
             if positions is None:
@@ -282,7 +295,8 @@ class MultiHeadAttention(Module):
             out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
             out = self.out_projection(params["out_projection"], out)
             return out, kv_cache
-        out = self.self_attention(q, k, v, kv_mask=kv_mask, key=key,
+        out = self.self_attention(q, k, v, kv_mask=kv_mask,
+                                  segment_ids=segment_ids, key=key,
                                   training=training)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
         return self.out_projection(params["out_projection"], out)
@@ -318,7 +332,7 @@ class TransformerLayer(Module):
 
     def __call__(self, params: Params, x: jax.Array, *,
                  kv_cache=None, kv_mask=None, positions=None,
-                 key=None, training: bool = False):
+                 segment_ids=None, key=None, training: bool = False):
         k1, k2 = (jax.random.split(key) if key is not None else (None, None))
         h = self.ln_1(params["ln_1"], x)
         if kv_cache is not None:
@@ -328,7 +342,8 @@ class TransformerLayer(Module):
         else:
             attn_out = self.attention(
                 params["attention"], h, kv_mask=kv_mask,
-                positions=positions, key=k1, training=training)
+                positions=positions, segment_ids=segment_ids, key=k1,
+                training=training)
         out = x + attn_out
         ff_out = self.ff(params["ff"], self.ln_2(params["ln_2"], out),
                          key=k2, training=training)
@@ -360,11 +375,16 @@ class DecoderLM(Module):
 
     def __call__(self, params: Params, idx: jax.Array, *,
                  kv_caches=None, kv_mask=None, positions=None,
-                 key=None, training: bool = False, return_aux: bool = False):
+                 segment_ids=None, key=None, training: bool = False,
+                 return_aux: bool = False):
         """idx [B, L] int32 -> logits [B, L, n_vocab].
 
         ``positions`` overrides the default arange positions (needed for
-        incremental decode); ``kv_caches`` is a list of per-layer caches.
+        incremental decode, and for packed batches where each example's
+        positions restart); ``segment_ids`` ([B, L] int32) enables
+        packed-sequence training — attention stays within each segment
+        (see ops.flash_attention); ``kv_caches`` is a list of per-layer
+        caches.
         With an MoE config and ``return_aux=True`` the result also carries
         the summed router load-balancing loss (add ``moe.aux_weight *
         aux`` to the training objective).
@@ -395,7 +415,7 @@ class DecoderLM(Module):
                 fn = jax.checkpoint(
                     lambda p, x, _layer=layer, _k=keys[li + 1]: _layer(
                         p, x, kv_mask=kv_mask, positions=rope_positions,
-                        key=_k, training=training))
+                        segment_ids=segment_ids, key=_k, training=training))
                 out = fn(lparams, x)
                 x, *extras = out if moe else (out,)
                 if moe:
@@ -413,7 +433,8 @@ class DecoderLM(Module):
                     aux_total = aux_total + extras[0]
             else:
                 out = layer(lparams, x, kv_mask=kv_mask,
-                            positions=rope_positions, key=keys[li + 1],
+                            positions=rope_positions,
+                            segment_ids=segment_ids, key=keys[li + 1],
                             training=training)
                 if moe:
                     x, aux = out

@@ -51,16 +51,16 @@ def _quantize_kv(x, mode="int8"):
     return codes, scales.astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention_quantkv(q, k, v, seed, causal, dropout_rate, mode,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention_quantkv(q, k, v, seed, seg, causal, dropout_rate, mode,
                              window):
     out, _ = _flash_attention_quantkv_fwd(
-        q, k, v, seed, causal, dropout_rate, mode, window)
+        q, k, v, seed, seg, causal, dropout_rate, mode, window)
     return out
 
 
-def _flash_attention_quantkv_fwd(q, k, v, seed, causal, dropout_rate, mode,
-                                 window):
+def _flash_attention_quantkv_fwd(q, k, v, seed, seg, causal, dropout_rate,
+                                 mode, window):
     """Quantized-KV flash attention (BASELINE's INT8-KV FA2 fw+bw): K/V are
     quantized to int8 codes + per-position scales, BOTH the forward and the
     backward recompute consume the codes (dequant fused in VMEM,
@@ -72,16 +72,17 @@ def _flash_attention_quantkv_fwd(q, k, v, seed, causal, dropout_rate, mode,
     vc, vs = _quantize_kv(v, mode)
     out, lse, _ = flash_attention_forward(
         q, kc, vc, ks, vs, causal=causal, dropout_rate=dropout_rate,
-        dropout_seed=seed, window=window)
-    return out, (q, kc, ks, vc, vs, out, lse, seed)
+        dropout_seed=seed, window=window, segment_ids=seg)
+    return out, (q, kc, ks, vc, vs, out, lse, seed, seg)
 
 
 def _flash_attention_quantkv_bwd(causal, dropout_rate, mode, window, res, do):
-    q, kc, ks, vc, vs, out, lse, seed = res
+    q, kc, ks, vc, vs, out, lse, seed, seg = res
     dq, dk, dv = flash_attention_backward(
         q, kc, vc, out, lse, do, None, ks, vs, causal=causal,
-        dropout_rate=dropout_rate, dropout_seed=seed, window=window)
-    return dq, dk, dv, _seed_cotangent(seed)
+        dropout_rate=dropout_rate, dropout_seed=seed, window=window,
+        segment_ids=seg)
+    return dq, dk, dv, _seed_cotangent(seed), _seg_cotangent(seg)
 
 
 _flash_attention_quantkv.defvjp(
@@ -89,13 +90,14 @@ _flash_attention_quantkv.defvjp(
 
 
 def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0,
-                  window=None):
+                  window=None, seg=None):
     """Returns (out, lse, m) under the chosen implementation."""
     if impl == "pallas":
         return flash_attention_forward(
             q, k, v, causal=causal, dropout_rate=dropout_rate,
-            dropout_seed=seed, window=window)
-    if impl == "reference" and dropout_rate == 0.0 and window is None:
+            dropout_seed=seed, window=window, segment_ids=seg)
+    if impl == "reference" and dropout_rate == 0.0 and window is None \
+            and seg is None:
         out, lse = ref.flash_attention2_fw_reference(q, k, v, causal=causal)
         # m is only needed for FA1-style residual reporting.
         _, l1, m1 = ref.flash_attention1_fw_reference(q, k, v, causal=causal)
@@ -114,6 +116,9 @@ def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0,
         s = s + ref.causal_mask(q.shape[-2], k.shape[-2], s.dtype)
         if window is not None:
             s = s + ref.window_mask(q.shape[-2], k.shape[-2], window, s.dtype)
+    if seg is not None:
+        same = seg[:, None, :, None] == seg[:, None, None, :]
+        s = jnp.where(same, s, jnp.asarray(ref.MASK_VALUE, s.dtype))
     lse = jax.nn.logsumexp(s, axis=-1)
     m = jnp.max(s, axis=-1)
     probs = jax.nn.softmax(s, axis=-1)
@@ -126,18 +131,18 @@ def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0,
 
 
 def _backward_impl(q, k, v, o, lse, do, causal, impl, dropout_rate=0.0,
-                   seed=0, window=None):
+                   seed=0, window=None, seg=None):
     if impl == "pallas":
         return flash_attention_backward(
             q, k, v, o, lse, do, causal=causal, dropout_rate=dropout_rate,
-            dropout_seed=seed, window=window)
-    if dropout_rate > 0.0 or window is not None:
+            dropout_seed=seed, window=window, segment_ids=seg)
+    if dropout_rate > 0.0 or window is not None or seg is not None:
         # The dense composition is natively differentiable: recompute the
         # forward under jax.vjp with the same masks.  (The tiled reference
-        # oracle stays dropout/window-free; those always land here.)
+        # oracle stays dropout/window/segment-free; those always land here.)
         def dense(q, k, v):
             out, _, _ = _forward_impl(q, k, v, causal, "xla", dropout_rate,
-                                      seed, window)
+                                      seed, window, seg)
             return out
         _, vjp = jax.vjp(dense, q, k, v)
         return vjp(do)
@@ -161,24 +166,30 @@ def _seed_cotangent(seed):
     return np.zeros(np.shape(seed), jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, seed, causal, impl, dropout_rate, window):
+def _seg_cotangent(seg):
+    # int32 segment ids: symbolic-zero cotangent (None when not segmented).
+    return None if seg is None else np.zeros(np.shape(seg), jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _flash_attention(q, k, v, seed, seg, causal, impl, dropout_rate, window):
     out, _, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed,
-                              window)
+                              window, seg)
     return out
 
 
-def _flash_attention_fwd(q, k, v, seed, causal, impl, dropout_rate, window):
+def _flash_attention_fwd(q, k, v, seed, seg, causal, impl, dropout_rate,
+                         window):
     out, lse, _ = _forward_impl(q, k, v, causal, impl, dropout_rate, seed,
-                                window)
-    return out, (q, k, v, out, lse, seed)
+                                window, seg)
+    return out, (q, k, v, out, lse, seed, seg)
 
 
 def _flash_attention_bwd(causal, impl, dropout_rate, window, residuals, do):
-    q, k, v, out, lse, seed = residuals
+    q, k, v, out, lse, seed, seg = residuals
     dq, dk, dv = _backward_impl(q, k, v, out, lse, do, causal, impl,
-                                dropout_rate, seed, window)
-    return dq, dk, dv, _seed_cotangent(seed)
+                                dropout_rate, seed, window, seg)
+    return dq, dk, dv, _seed_cotangent(seed), _seg_cotangent(seg)
 
 
 _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
@@ -194,8 +205,16 @@ def flash_attention(
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
     window: int | None = None,
+    segment_ids: jax.Array | None = None,
 ) -> jax.Array:
     """Flash attention over [B, H, L, d] inputs; differentiable.
+
+    ``segment_ids`` ([B, L] int32, requires Lq == Lk): packed-sequence
+    attention — position i attends position j only when their segment ids
+    match (composed with causal/window).  Train several concatenated
+    examples per row with zero cross-contamination and no padding waste;
+    new capability vs the reference (its collate pads every row,
+    run_machine_translation.py:87-154).
 
     ``window`` (requires causal): sliding-window/local attention — row r
     attends keys in (r - window, r]; compute and HBM traffic are
@@ -238,8 +257,18 @@ def flash_attention(
             raise ValueError(
                 f"window must be >= 1 (got {window}); use window=None to "
                 f"disable sliding-window attention")
-    if (dropout_rate > 0.0 or window is not None) and impl == "reference":
-        impl = "xla"  # the dropout/window-capable dense oracle form
+    seg = None
+    if segment_ids is not None:
+        if q.shape[-2] != k.shape[-2]:
+            raise ValueError("segment_ids requires Lq == Lk")
+        if segment_ids.shape != (q.shape[0], q.shape[2]):
+            raise ValueError(
+                f"segment_ids must be [B, L] = {(q.shape[0], q.shape[2])}, "
+                f"got {segment_ids.shape}")
+        seg = jnp.asarray(segment_ids, jnp.int32)
+    if (dropout_rate > 0.0 or window is not None or seg is not None) \
+            and impl == "reference":
+        impl = "xla"  # the dropout/window/segment-capable dense oracle form
     if kv_quant != "none":
         if kv_quant not in ("int8", "fp8"):
             raise ValueError(f"kv_quant must be 'none', 'int8' or 'fp8', "
@@ -247,7 +276,7 @@ def flash_attention(
         if impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
         return _flash_attention_quantkv(
-            q, k, v, seed, causal, dropout_rate, kv_quant, window)
+            q, k, v, seed, seg, causal, dropout_rate, kv_quant, window)
 
     from tpu_flash.parallel.context import current_context
 
@@ -266,14 +295,22 @@ def flash_attention(
             # (batch*head) indices, so different shards reuse mask patterns;
             # statistically irrelevant, but runs are not bit-identical to
             # the unsharded layout when dropout is on.
+            if seg is None:
+                fn = jax.shard_map(
+                    lambda q, k, v, s: _flash_attention(
+                        q, k, v, s, None, causal, impl, dropout_rate, window),
+                    mesh=ctx.mesh, in_specs=(spec, spec, spec, P()),
+                    out_specs=spec, check_vma=False)
+                return fn(q, k, v, seed)
             fn = jax.shard_map(
-                lambda q, k, v, s: _flash_attention(
-                    q, k, v, s, causal, impl, dropout_rate, window),
-                mesh=ctx.mesh, in_specs=(spec, spec, spec, P()),
+                lambda q, k, v, s, sg: _flash_attention(
+                    q, k, v, s, sg, causal, impl, dropout_rate, window),
+                mesh=ctx.mesh,
+                in_specs=(spec, spec, spec, P(), P(ctx.data_axis, None)),
                 out_specs=spec, check_vma=False)
-            return fn(q, k, v, seed)
+            return fn(q, k, v, seed, seg)
         impl = "xla"  # indivisible shapes: let GSPMD partition the graph
-    return _flash_attention(q, k, v, seed, causal, impl, dropout_rate,
+    return _flash_attention(q, k, v, seed, seg, causal, impl, dropout_rate,
                             window)
 
 
