@@ -58,3 +58,49 @@ def test_background_loader_streams_batches(corpus):
         seen.add(b["input_ids"].tobytes())
     assert len(seen) > 20   # shuffled, not repeating one batch
     loader.close()
+
+
+def test_native_packed_matches_python_collate(corpus):
+    """pack_batch_packed (C++) is byte-identical to mt.collate_packed
+    (Python) on the same example indices."""
+    examples, tok = corpus
+    examples = examples[:12]
+    try:
+        flats = native.tokenize_corpus(examples, "de", "en", tok)
+    except native.NativeUnavailable as e:
+        pytest.skip(str(e))
+    L = 48
+    py = mt.collate_packed(examples, "de", "en", tok, L, fixed_rows=6)
+    nat = native.pack_batch_packed(
+        *flats, indices=np.arange(len(examples), dtype=np.int64),
+        max_len=L, pad_id=tok.vocab["<pad>"], fixed_rows=6)
+    for key in py:
+        np.testing.assert_array_equal(nat[key], py[key], err_msg=key)
+
+
+def test_native_packed_loader_stream(corpus):
+    """Threaded packed loader emits well-formed fixed-shape batches."""
+    examples, tok = corpus
+    try:
+        flats = native.tokenize_corpus(examples[:64], "de", "en", tok)
+    except native.NativeUnavailable as e:
+        pytest.skip(str(e))
+    loader = native.NativeBatchLoader(
+        *flats, max_len=48, pad_id=tok.vocab["<pad>"], batch_size=16,
+        seed=0, n_threads=2, packed=True, fixed_rows=8)
+    try:
+        for _ in range(4):
+            b = loader.next()
+            assert b["input_ids"].shape == (8, 48)
+            assert set(b) == {"input_ids", "labels", "label_token_weights",
+                              "segment_ids", "positions"}
+            for r in range(8):
+                seg = b["segment_ids"][r]
+                assert (np.diff(seg) >= 0).all()
+                w = b["label_token_weights"][r]
+                pad = b["input_ids"][r] == tok.vocab["<pad>"]
+                # loss never lands on a pad prediction target
+                assert (b["labels"][r][w > 0] != tok.vocab["<pad>"]).all()
+                assert (w[pad] == 0).all()
+    finally:
+        loader.close()

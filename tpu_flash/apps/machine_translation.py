@@ -279,8 +279,11 @@ def main(argv=None):
                 dataset["train"], src_key, tgt_key, tokenizer)
             native_loader = nl.NativeBatchLoader(
                 *flats, max_len=L, pad_id=tokenizer.vocab["<pad>"],
-                batch_size=batch_size, seed=args.seed, n_threads=2)
-            print(json.dumps({"native_loader": "enabled"}))
+                batch_size=batch_size, seed=args.seed, n_threads=2,
+                packed=args.pack,
+                fixed_rows=pack_rows if args.pack else 0)
+            print(json.dumps({"native_loader": "enabled",
+                              "packed": args.pack}))
         except nl.NativeUnavailable as e:
             print(json.dumps({"native_loader": f"unavailable: {e}"}))
 

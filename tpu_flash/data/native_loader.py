@@ -55,14 +55,24 @@ def _build_and_load():
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_uint64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32,
     ]
     lib.loader_next.restype = ctypes.c_int32
     lib.loader_next.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
+    lib.loader_next_packed.restype = ctypes.c_int32
+    lib.loader_next_packed.argtypes = [ctypes.c_void_p] + \
+        [ctypes.c_void_p] * 5
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
     lib.pack_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    lib.pack_batch_packed.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_void_p,
     ]
     _lib = lib
     return lib
@@ -108,16 +118,42 @@ def pack_batch(src_flat, src_off, tgt_flat, tgt_off, indices, max_len,
             "label_token_weights": weights}
 
 
+def pack_batch_packed(src_flat, src_off, tgt_flat, tgt_off, indices, max_len,
+                      pad_id, fixed_rows):
+    """Native synchronous sequence-packed collation (the C++ twin of
+    ``mt.collate_packed(fixed_rows=)``; byte-identical output)."""
+    lib = _build_and_load()
+    n = len(indices)
+    indices = np.ascontiguousarray(indices, np.int64)
+    shape = (fixed_rows, max_len)
+    ids = np.empty(shape, np.int32)
+    labels = np.empty(shape, np.int32)
+    weights = np.empty(shape, np.float32)
+    seg = np.empty(shape, np.int32)
+    pos = np.empty(shape, np.int32)
+    lib.pack_batch_packed(
+        _ptr(src_flat), _ptr(src_off), _ptr(tgt_flat), _ptr(tgt_off),
+        _ptr(indices), n, max_len, pad_id, fixed_rows,
+        _ptr(ids), _ptr(labels), _ptr(weights), _ptr(seg), _ptr(pos))
+    return {"input_ids": ids, "labels": labels,
+            "label_token_weights": weights, "segment_ids": seg,
+            "positions": pos}
+
+
 class NativeBatchLoader:
     """Background-thread packing loader; iterate for an endless stream of
     shuffled epoch batches."""
 
     def __init__(self, src_flat, src_off, tgt_flat, tgt_off, *, max_len,
                  pad_id, batch_size, mask_padding=False, seed=0,
-                 n_threads=2, ring_capacity=8):
+                 n_threads=2, ring_capacity=8, packed=False, fixed_rows=0):
         self._lib = _build_and_load()
         self.batch_size = batch_size
         self.max_len = max_len
+        self.packed = packed
+        self.fixed_rows = fixed_rows
+        if packed and fixed_rows < 1:
+            raise ValueError("packed mode requires fixed_rows >= 1")
         # keep the arrays alive for the duration of loader_create's copy
         src_flat = np.ascontiguousarray(src_flat, np.int32)
         tgt_flat = np.ascontiguousarray(tgt_flat, np.int32)
@@ -126,11 +162,27 @@ class NativeBatchLoader:
         self._handle = self._lib.loader_create(
             _ptr(src_flat), _ptr(src_off), _ptr(tgt_flat), _ptr(tgt_off),
             len(src_off) - 1, max_len, pad_id, batch_size,
-            int(mask_padding), seed, n_threads, ring_capacity)
+            int(mask_padding), seed, n_threads, ring_capacity,
+            int(packed), fixed_rows)
         if not self._handle:
             raise NativeUnavailable("loader_create returned NULL")
 
     def next(self):
+        if self.packed:
+            shape = (self.fixed_rows, self.max_len)
+            ids = np.empty(shape, np.int32)
+            labels = np.empty(shape, np.int32)
+            weights = np.empty(shape, np.float32)
+            seg = np.empty(shape, np.int32)
+            pos = np.empty(shape, np.int32)
+            n = self._lib.loader_next_packed(
+                self._handle, _ptr(ids), _ptr(labels), _ptr(weights),
+                _ptr(seg), _ptr(pos))
+            if n == 0:
+                raise StopIteration
+            return {"input_ids": ids, "labels": labels,
+                    "label_token_weights": weights, "segment_ids": seg,
+                    "positions": pos}
         ids = np.empty((self.batch_size, self.max_len), np.int32)
         labels = np.empty((self.batch_size, self.max_len), np.int32)
         weights = np.empty((self.batch_size, self.max_len), np.float32)

@@ -31,9 +31,31 @@ struct Batch {
   std::vector<int32_t> input_ids;
   std::vector<int32_t> labels;
   std::vector<float> weights;
+  std::vector<int32_t> segment_ids;  // packed mode only
+  std::vector<int32_t> positions;    // packed mode only
   int32_t n_examples = 0;
   bool end_of_epoch = false;
 };
+
+// One example's ids (src+eos+tgt+eos truncated to max_len) appended into a
+// packed row at `off` with segment id `sid`: per-segment next-token labels,
+// source-masked weights, per-example positions.  Mirrors the Python
+// collate_packed (tpu_flash/data/mt.py) exactly.
+inline void emit_packed_example(const int32_t* ex_ids, int32_t ln,
+                                int32_t n_src, int32_t off, int32_t sid,
+                                int32_t pad_id, int32_t* ids, int32_t* labels,
+                                float* w, int32_t* seg, int32_t* pos) {
+  for (int32_t i = 0; i < ln; ++i) {
+    ids[off + i] = ex_ids[i];
+    labels[off + i] = (i + 1 < ln) ? ex_ids[i + 1] : pad_id;
+    float wi = 1.f;
+    if (i < std::min(ln, n_src - 1)) wi = 0.f;  // predicting source tokens
+    if (i == ln - 1) wi = 0.f;                  // last position: no target
+    w[off + i] = wi;
+    seg[off + i] = sid;
+    pos[off + i] = i;
+  }
+}
 
 struct Loader {
   // corpus (borrowed copies — the loader owns its own storage)
@@ -44,6 +66,8 @@ struct Loader {
   // config
   int32_t max_len = 0, pad_id = 0, batch_size = 0;
   bool mask_padding = false;
+  bool packed = false;       // sequence-packed rows (segment ids + positions)
+  int32_t fixed_rows = 0;    // packed mode: static row count per batch
   uint64_t seed = 0;
 
   // epoch state
@@ -90,6 +114,62 @@ struct Loader {
     (void)n_tgt;
   }
 
+  // Packed-mode batch over the claimed examples: greedy whole-example row
+  // fill, exactly fixed_rows rows (extra examples dropped, missing rows are
+  // all-pad with zero weight).
+  void pack_packed(const std::vector<int64_t>& claim, Batch* b) const {
+    const size_t total = static_cast<size_t>(fixed_rows) * max_len;
+    b->n_examples = fixed_rows;
+    b->input_ids.assign(total, pad_id);
+    b->labels.assign(total, pad_id);
+    b->weights.assign(total, 0.f);
+    b->segment_ids.assign(total, 0);
+    b->positions.assign(total, 0);
+    std::vector<int32_t> ex_ids;
+    int32_t row = 0, off = 0, sid = 0;
+    for (int64_t ex : claim) {
+      const int64_t s0 = src_off[ex], s1 = src_off[ex + 1];
+      const int64_t t0 = tgt_off[ex], t1 = tgt_off[ex + 1];
+      const int32_t n_src = static_cast<int32_t>(s1 - s0);
+      ex_ids.clear();
+      for (int64_t i = s0; i < s1 && (int32_t)ex_ids.size() < max_len; ++i)
+        ex_ids.push_back(src_flat[i]);
+      for (int64_t i = t0; i < t1 && (int32_t)ex_ids.size() < max_len; ++i)
+        ex_ids.push_back(tgt_flat[i]);
+      const int32_t ln = static_cast<int32_t>(ex_ids.size());
+      if (off + ln > max_len) {           // close this row
+        finish_row(b, row, off, sid);
+        ++row;
+        off = 0;
+        sid = 0;
+        if (row >= fixed_rows) return;    // batch full: drop the rest
+      }
+      const int64_t base = int64_t(row) * max_len;
+      emit_packed_example(ex_ids.data(), ln, n_src, off, sid, pad_id,
+                          b->input_ids.data() + base,
+                          b->labels.data() + base,
+                          b->weights.data() + base,
+                          b->segment_ids.data() + base,
+                          b->positions.data() + base);
+      off += ln;
+      ++sid;
+    }
+    if (off > 0 && row < fixed_rows) finish_row(b, row, off, sid);
+    // remaining rows stay all-pad/zero-weight; give their pad tails
+    // arange positions + segment 0 (matches the Python collate)
+    for (int32_t r = (off > 0 ? row + 1 : row); r < fixed_rows; ++r)
+      finish_row(b, r, 0, 0);
+  }
+
+  // pad tail of a packed row: own segment id, arange positions
+  void finish_row(Batch* b, int32_t row, int32_t off, int32_t sid) const {
+    const int64_t base = int64_t(row) * max_len;
+    for (int32_t i = off; i < max_len; ++i) {
+      b->segment_ids[base + i] = sid;
+      b->positions[base + i] = i - off;
+    }
+  }
+
   void worker_loop() {
     for (;;) {
       // claim a slice of the epoch order
@@ -106,6 +186,9 @@ struct Loader {
         cursor += batch_size;
       }
       Batch b;
+      if (packed) {
+        pack_packed(claim, &b);
+      } else {
       b.n_examples = batch_size;
       b.input_ids.resize(static_cast<size_t>(batch_size) * max_len);
       b.labels.resize(static_cast<size_t>(batch_size) * max_len);
@@ -114,6 +197,7 @@ struct Loader {
         pack_one(claim[i], b.input_ids.data() + int64_t(i) * max_len,
                  b.labels.data() + int64_t(i) * max_len,
                  b.weights.data() + int64_t(i) * max_len);
+      }
       }
       {
         std::unique_lock<std::mutex> lk(mu);
@@ -134,7 +218,8 @@ void* loader_create(const int32_t* src_flat, const int64_t* src_off,
                     const int32_t* tgt_flat, const int64_t* tgt_off,
                     int64_t n_examples, int32_t max_len, int32_t pad_id,
                     int32_t batch_size, int32_t mask_padding, uint64_t seed,
-                    int32_t n_threads, int32_t ring_capacity) {
+                    int32_t n_threads, int32_t ring_capacity,
+                    int32_t packed, int32_t fixed_rows) {
   auto* L = new Loader();
   L->src_flat.assign(src_flat, src_flat + src_off[n_examples]);
   L->tgt_flat.assign(tgt_flat, tgt_flat + tgt_off[n_examples]);
@@ -145,6 +230,8 @@ void* loader_create(const int32_t* src_flat, const int64_t* src_off,
   L->pad_id = pad_id;
   L->batch_size = batch_size;
   L->mask_padding = mask_padding != 0;
+  L->packed = packed != 0;
+  L->fixed_rows = fixed_rows;
   L->seed = seed;
   L->ring_cap = ring_capacity > 0 ? static_cast<size_t>(ring_capacity) : 8;
   {
@@ -176,6 +263,64 @@ int32_t loader_next(void* handle, int32_t* input_ids, int32_t* labels,
   std::memcpy(labels, b.labels.data(), b.labels.size() * sizeof(int32_t));
   std::memcpy(weights, b.weights.data(), b.weights.size() * sizeof(float));
   return b.n_examples;
+}
+
+// Packed-mode drain: buffers are [fixed_rows, max_len]; returns fixed_rows.
+int32_t loader_next_packed(void* handle, int32_t* input_ids, int32_t* labels,
+                           float* weights, int32_t* segment_ids,
+                           int32_t* positions) {
+  auto* L = static_cast<Loader*>(handle);
+  Batch b;
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->not_empty.wait(lk, [&] { return !L->ring.empty() || L->stop.load(); });
+    if (L->stop.load() && L->ring.empty()) return 0;
+    b = std::move(L->ring.front());
+    L->ring.pop();
+  }
+  L->not_full.notify_one();
+  std::memcpy(input_ids, b.input_ids.data(),
+              b.input_ids.size() * sizeof(int32_t));
+  std::memcpy(labels, b.labels.data(), b.labels.size() * sizeof(int32_t));
+  std::memcpy(weights, b.weights.data(), b.weights.size() * sizeof(float));
+  std::memcpy(segment_ids, b.segment_ids.data(),
+              b.segment_ids.size() * sizeof(int32_t));
+  std::memcpy(positions, b.positions.data(),
+              b.positions.size() * sizeof(int32_t));
+  return b.n_examples;
+}
+
+// One-shot synchronous packed collation over explicit indices (test/eval
+// parity path for the Python collate_packed).
+void pack_batch_packed(const int32_t* src_flat, const int64_t* src_off,
+                       const int32_t* tgt_flat, const int64_t* tgt_off,
+                       const int64_t* indices, int32_t n, int32_t max_len,
+                       int32_t pad_id, int32_t fixed_rows,
+                       int32_t* input_ids, int32_t* labels, float* weights,
+                       int32_t* segment_ids, int32_t* positions) {
+  Loader L;
+  // copy the corpus prefix that covers every referenced example
+  int64_t max_ex = 0;
+  for (int32_t i = 0; i < n; ++i) max_ex = std::max(max_ex, indices[i]);
+  L.src_flat.assign(src_flat, src_flat + src_off[max_ex + 1]);
+  L.tgt_flat.assign(tgt_flat, tgt_flat + tgt_off[max_ex + 1]);
+  L.src_off.assign(src_off, src_off + max_ex + 2);
+  L.tgt_off.assign(tgt_off, tgt_off + max_ex + 2);
+  L.max_len = max_len;
+  L.pad_id = pad_id;
+  L.packed = true;
+  L.fixed_rows = fixed_rows;
+  std::vector<int64_t> claim(indices, indices + n);
+  Batch b;
+  L.pack_packed(claim, &b);
+  std::memcpy(input_ids, b.input_ids.data(),
+              b.input_ids.size() * sizeof(int32_t));
+  std::memcpy(labels, b.labels.data(), b.labels.size() * sizeof(int32_t));
+  std::memcpy(weights, b.weights.data(), b.weights.size() * sizeof(float));
+  std::memcpy(segment_ids, b.segment_ids.data(),
+              b.segment_ids.size() * sizeof(int32_t));
+  std::memcpy(positions, b.positions.data(),
+              b.positions.size() * sizeof(int32_t));
 }
 
 void loader_destroy(void* handle) {
