@@ -202,3 +202,23 @@ def test_packed_loss_matches_unpacked(small_corpus):
         ls = nn.functional.softmax_loss(lg, jnp.asarray(clamp(b["labels"])))
         unpacked_sum += float(jnp.sum(ls * w))
     np.testing.assert_allclose(packed_sum, unpacked_sum, rtol=1e-4)
+
+
+def test_segment_attention_under_parallel_context(rng):
+    """segment_ids shard over the data axis inside the shard_map attention
+    path; sharded == unsharded."""
+    from tpu_flash import parallel
+
+    B, H, L, d = 4, 4, 128, 32
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+               for _ in range(3))
+    seg = random_segments(rng, B, L)
+    ref = flash_attention(q, k, v, causal=True, segment_ids=seg)
+    ctx = parallel.make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    try:
+        parallel.set_parallel_context(ctx)
+        out = flash_attention(q, k, v, causal=True, segment_ids=seg)
+    finally:
+        parallel.set_parallel_context(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
