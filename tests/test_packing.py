@@ -152,7 +152,6 @@ def test_collate_packed_semantics(small_corpus):
     # packing round-trips every example (ids re-concatenated in order)
     flat = []
     for r in range(n):
-        real = batch["segment_ids"][r] < batch["segment_ids"][r].max() + 1
         row_ids = batch["input_ids"][r]
         flat.extend(row_ids[row_ids != pad_id].tolist())
     orig = []

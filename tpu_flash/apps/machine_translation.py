@@ -36,13 +36,20 @@ def make_loss_fn(model):
     def loss_fn(params, batch, key=None, training=False):
         """Masked MLE, averaged over all positions — the reference's exact
         semantics (loss * weights then mean over every position,
-        run_machine_translation.py:157-181)."""
+        run_machine_translation.py:157-181).  Packed batches carry a
+        ``loss_norm`` divisor of examples_per_step * L so the loss scale
+        (and gradient magnitude) matches the equivalent unpacked batch —
+        dividing by the smaller packed row count would inflate both by the
+        compression ratio and make runs incomparable."""
         logits = model(params, batch["input_ids"],
                        segment_ids=batch.get("segment_ids"),
                        positions=batch.get("positions"),
                        key=key, training=training)
         losses = nn.functional.softmax_loss(logits, batch["labels"])
-        return jnp.mean(losses * batch["label_token_weights"])
+        weighted = losses * batch["label_token_weights"]
+        if "loss_norm" in batch:
+            return jnp.sum(weighted) / batch["loss_norm"]
+        return jnp.mean(weighted)
     return loss_fn
 
 
@@ -76,6 +83,7 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
 
     losses = []
     step_times = []
+    step_tokens = 0
     n_batches = len(order) // batch_size
     for it in range(n_batches):
         if max_iters is not None and it >= max_iters:
@@ -85,6 +93,9 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
         else:
             idx = order[it * batch_size:(it + 1) * batch_size]
             batch = collate_fn([examples[i] for i in idx])
+        if "segment_ids" in batch and "loss_norm" not in batch:
+            batch["loss_norm"] = np.float32(
+                batch_size * batch["input_ids"].shape[1])
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
@@ -92,6 +103,7 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
         loss = float(loss)  # host sync: closes the step timing
         dt = time.perf_counter() - t0
         losses.append(loss)
+        step_tokens = int(batch["input_ids"].size)
         if it > 0:
             step_times.append(dt)
         if it % log_every == 0:
@@ -101,7 +113,7 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
             if metrics is not None:
                 metrics.log(step=it, loss=loss, step_ms=round(dt * 1e3, 2),
                             tokens_per_sec=round(toks / dt))
-    return params, opt_state, losses, step_times
+    return params, opt_state, losses, step_times, step_tokens
 
 
 def evaluate_loss(model, params, examples, collate_fn, batch_size):
@@ -228,18 +240,31 @@ def main(argv=None):
 
     train_collate_fn = collate_fn
     if args.pack:
-        # Fix the packed row count once (from the corpus head) so the jitted
-        # train step compiles exactly once; short batches pad with zero-
-        # weight rows, overfull ones trim (those examples return next epoch).
-        probe = mt.collate_packed(
-            dataset["train"][:batch_size], src_key, tgt_key, tokenizer, L)
-        pack_rows = max(1, probe["input_ids"].shape[0])
+        # Fix the packed row count once so the jitted train step compiles
+        # exactly once.  Probe SHUFFLED batches (the corpus head is not
+        # length-representative) and add one margin row; residual overflow
+        # examples are dropped and counted (logged per epoch).
+        prng = np.random.default_rng(args.seed)
+        need = 1
+        for _ in range(5):
+            idx = prng.choice(len(dataset["train"]),
+                              min(batch_size, len(dataset["train"])),
+                              replace=False)
+            probe = mt.collate_packed(
+                [dataset["train"][i] for i in idx], src_key, tgt_key,
+                tokenizer, L)
+            need = max(need, probe["input_ids"].shape[0])
+        pack_rows = need + 1
         print(json.dumps({"pack_rows": pack_rows,
                           "examples_per_step": batch_size}))
+        drop_counter: list = []
 
         def train_collate_fn(examples):
             return mt.collate_packed(examples, src_key, tgt_key, tokenizer,
-                                     L, fixed_rows=pack_rows)
+                                     L, fixed_rows=pack_rows,
+                                     drop_counter=drop_counter)
+
+        train_collate_fn.drop_counter = drop_counter
 
     cfg = nn.DecoderConfig(
         n_vocab=args.n_vocab, n_embd=args.n_embd, n_head=args.n_head,
@@ -309,7 +334,7 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
         t0 = time.perf_counter()
-        params, opt_state, losses, step_times = train_epoch(
+        params, opt_state, losses, step_times, step_tokens = train_epoch(
             model, opt, params, opt_state, dataset["train"], train_collate_fn,
             batch_size, ekey, n_samples=args.samples_per_epoch,
             max_iters=args.max_iters_per_epoch, native_loader=native_loader,
@@ -324,9 +349,21 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
             "validation_loss": val_loss,
             "epoch_time_s": round(epoch_time, 2),
             "mean_step_ms": round(mean_step * 1e3, 2),
-            "tokens_per_sec": round(batch_size * L / mean_step)
+            # device-tokens basis: rows * L actually stepped (matches the
+            # per-iteration logs; under --pack this is the PACKED row count,
+            # not batch_size — examples/sec is step_examples/mean_step)
+            "tokens_per_sec": round(step_tokens / mean_step)
+            if step_times else None,
+            "examples_per_sec": round(batch_size / mean_step)
             if step_times else None,
         }
+        drops = getattr(train_collate_fn, "drop_counter", None)
+        if drops is not None:
+            epoch_rec["packed_dropped_examples"] = int(sum(drops))
+            drops.clear()
+        if native_loader is not None and getattr(native_loader, "packed",
+                                                 False):
+            epoch_rec["packed_dropped_examples"] = native_loader.dropped()
         print(json.dumps(epoch_rec))
         metrics.log(step=epoch, event="epoch", **epoch_rec)
 

@@ -204,6 +204,7 @@ def collate_packed(
     row_length: int,
     max_rows: int | None = None,
     fixed_rows: int | None = None,
+    drop_counter: list | None = None,
 ) -> dict[str, np.ndarray]:
     """Sequence-packed collation: greedily fills ``row_length``-token rows
     with whole ``src + <eos_src> + tgt + <eos_tgt>`` examples and emits
@@ -224,7 +225,10 @@ def collate_packed(
     positions, all ``[rows, row_length]``.  Examples longer than
     ``row_length`` are truncated to it (same as the reference's clamp).
     ``fixed_rows`` pads (with all-pad, zero-weight rows) or trims the batch
-    to a static row count so one jitted train step serves every batch.
+    to a static row count so one jitted train step serves every batch;
+    examples in trimmed rows are DROPPED (appended to ``drop_counter`` when
+    given so callers can report the rate — size ``fixed_rows`` with margin,
+    e.g. the app's shuffled-probe max + 1, to keep it near zero).
     """
     pad_id = tokenizer.vocab["<pad>"]
     rows = []            # each: list of (ids, n_src) tuples
@@ -243,6 +247,8 @@ def collate_packed(
     if cur and (max_rows is None or len(rows) < max_rows):
         rows.append(cur)
     if fixed_rows is not None:
+        if drop_counter is not None:
+            drop_counter.append(sum(len(r) for r in rows[fixed_rows:]))
         rows = rows[:fixed_rows]
         while len(rows) < fixed_rows:
             rows.append([])               # all-pad row, zero loss weight

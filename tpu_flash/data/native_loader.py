@@ -62,6 +62,8 @@ def _build_and_load():
     lib.loader_next_packed.restype = ctypes.c_int32
     lib.loader_next_packed.argtypes = [ctypes.c_void_p] + \
         [ctypes.c_void_p] * 5
+    lib.loader_dropped.restype = ctypes.c_int64
+    lib.loader_dropped.argtypes = [ctypes.c_void_p]
     lib.loader_destroy.argtypes = [ctypes.c_void_p]
     lib.pack_batch.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -197,6 +199,13 @@ class NativeBatchLoader:
         return self
 
     __next__ = next
+
+    def dropped(self) -> int:
+        """Packed mode: total examples dropped to batch overflow so far
+        (size fixed_rows with margin to keep this near zero)."""
+        if not self._handle:
+            return 0
+        return int(self._lib.loader_dropped(self._handle))
 
     def close(self):
         if getattr(self, "_handle", None):

@@ -68,6 +68,7 @@ struct Loader {
   bool mask_padding = false;
   bool packed = false;       // sequence-packed rows (segment ids + positions)
   int32_t fixed_rows = 0;    // packed mode: static row count per batch
+  mutable std::atomic<int64_t> dropped{0};  // packed examples trimmed away
   uint64_t seed = 0;
 
   // epoch state
@@ -127,7 +128,8 @@ struct Loader {
     b->positions.assign(total, 0);
     std::vector<int32_t> ex_ids;
     int32_t row = 0, off = 0, sid = 0;
-    for (int64_t ex : claim) {
+    for (size_t ci = 0; ci < claim.size(); ++ci) {
+      const int64_t ex = claim[ci];
       const int64_t s0 = src_off[ex], s1 = src_off[ex + 1];
       const int64_t t0 = tgt_off[ex], t1 = tgt_off[ex + 1];
       const int32_t n_src = static_cast<int32_t>(s1 - s0);
@@ -142,7 +144,11 @@ struct Loader {
         ++row;
         off = 0;
         sid = 0;
-        if (row >= fixed_rows) return;    // batch full: drop the rest
+        if (row >= fixed_rows) {          // batch full: drop the rest
+          dropped.fetch_add(static_cast<int64_t>(claim.size() - ci),
+                            std::memory_order_relaxed);
+          return;
+        }
       }
       const int64_t base = int64_t(row) * max_len;
       emit_packed_example(ex_ids.data(), ln, n_src, off, sid, pad_id,
@@ -321,6 +327,11 @@ void pack_batch_packed(const int32_t* src_flat, const int64_t* src_off,
               b.segment_ids.size() * sizeof(int32_t));
   std::memcpy(positions, b.positions.data(),
               b.positions.size() * sizeof(int32_t));
+}
+
+// Total packed examples dropped (batch overflow) since creation.
+int64_t loader_dropped(void* handle) {
+  return static_cast<Loader*>(handle)->dropped.load();
 }
 
 void loader_destroy(void* handle) {

@@ -191,9 +191,9 @@ class MultiHeadAttention(Module):
                     s = s + window_mask(q.shape[-2], k.shape[-2], c.window,
                                         s.dtype)
             if segment_ids is not None:
-                same = (segment_ids[:, None, :, None]
-                        == segment_ids[:, None, None, :])
-                s = jnp.where(same, s, jnp.asarray(-1e7, s.dtype))
+                from tpu_flash.ops.reference import apply_segment_mask
+
+                s = apply_segment_mask(s, segment_ids)
             if kv_mask is not None:
                 s = s + kv_mask[:, None, None, :].astype(s.dtype)
             p = F.softmax(s, axis=-1)

@@ -117,8 +117,7 @@ def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0,
         if window is not None:
             s = s + ref.window_mask(q.shape[-2], k.shape[-2], window, s.dtype)
     if seg is not None:
-        same = seg[:, None, :, None] == seg[:, None, None, :]
-        s = jnp.where(same, s, jnp.asarray(ref.MASK_VALUE, s.dtype))
+        s = ref.apply_segment_mask(s, seg)
     lse = jax.nn.logsumexp(s, axis=-1)
     m = jnp.max(s, axis=-1)
     probs = jax.nn.softmax(s, axis=-1)

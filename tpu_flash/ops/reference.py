@@ -388,6 +388,14 @@ def dropout_keep_oracle(B, H, Lq, Lk, seed, rate):
                      jnp.float32(0.0))
 
 
+def apply_segment_mask(s, seg):
+    """Set cross-segment scores of ``s`` [B, H, Lq, Lk] to MASK_VALUE given
+    segment ids ``seg`` [B, L] (packed-sequence attention; SET rather than
+    add, matching the kernel's in-tile masking)."""
+    same = seg[:, None, :, None] == seg[:, None, None, :]
+    return jnp.where(same, s, jnp.asarray(MASK_VALUE, s.dtype))
+
+
 def window_mask(seq_q, seq_k, window, dtype=jnp.float32):
     """Additive sliding-window lower-bound mask (combine with causal_mask):
     bottom-right-aligned row r attends keys in (r + offset - window,
