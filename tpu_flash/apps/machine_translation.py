@@ -201,6 +201,10 @@ def main(argv=None):
     p.add_argument("--attention-kind", default="flash",
                    choices=["flash", "fused", "naive", "auto"])
     p.add_argument("--use-fused-kernel", action="store_true")
+    p.add_argument("--mask-padding", action="store_true",
+                   help="zero loss weights on pad positions (correct MLE; "
+                        "default False reproduces the reference, which "
+                        "counts pads at weight 1)")
     p.add_argument("--pack", action="store_true",
                    help="sequence-packed training: fill each row with "
                         "multiple examples under segment-id attention "
@@ -236,7 +240,8 @@ def main(argv=None):
         dataset["train"], args.n_vocab, src_key, tgt_key, workdir)
 
     def collate_fn(examples):
-        return mt.collate_batch(examples, src_key, tgt_key, tokenizer, L)
+        return mt.collate_batch(examples, src_key, tgt_key, tokenizer, L,
+                                mask_padding=args.mask_padding)
 
     train_collate_fn = collate_fn
     if args.pack:

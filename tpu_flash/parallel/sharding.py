@@ -110,10 +110,14 @@ def shard_params(ctx: ParallelContext, model, params):
     return sharded, specs
 
 
-def batch_specs(ctx: ParallelContext):
-    """Batch dict sharding: every field sharded over data on dim 0."""
-    return {
-        "input_ids": P(ctx.data_axis, None),
-        "labels": P(ctx.data_axis, None),
-        "label_token_weights": P(ctx.data_axis, None),
-    }
+_BATCH_2D_FIELDS = ("input_ids", "labels", "label_token_weights",
+                    "segment_ids", "positions")
+
+
+def batch_specs(ctx: ParallelContext, batch=None):
+    """Batch dict sharding: [B, L] fields shard over data on dim 0, scalars
+    (e.g. the packed ``loss_norm``) replicate.  With ``batch`` given, specs
+    cover exactly its keys (packed batches carry segment_ids/positions)."""
+    keys = _BATCH_2D_FIELDS if batch is None else batch.keys()
+    return {k: (P(ctx.data_axis, None) if k in _BATCH_2D_FIELDS else P())
+            for k in keys}

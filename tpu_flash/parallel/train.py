@@ -52,7 +52,7 @@ def init_sharded(ctx: ParallelContext, model, opt, key):
 
 
 def put_batch(ctx: ParallelContext, batch):
-    specs = batch_specs(ctx)
+    specs = batch_specs(ctx, batch)
     return {
         k: jax.device_put(jnp.asarray(v), NamedSharding(ctx.mesh, specs[k]))
         for k, v in batch.items()
