@@ -17,24 +17,34 @@ import numpy as np
 
 
 def sweep_tiles():
-    """--sweep-tiles: re-measure bf16 decode across VMEM tile budgets (the
-    tuning procedure behind decode.VMEM_TILE_BUDGET's default)."""
+    """--sweep-tiles: re-measure bf16 decode across key-tile sizes (the
+    tuning procedure behind decode.DEFAULT_BLOCK_S).
+
+    block_s is passed explicitly: it is a static jit argument, so every
+    size gets its own trace/compile.  (Mutating decode.VMEM_TILE_BUDGET
+    between calls does NOT work — the global is read at trace time and
+    identical call signatures hit the jit cache, so an earlier version of
+    this sweep timed one compiled kernel five times.)"""
     from tpu_flash.kernels import decode
     from tpu_flash.utils.timing import benchmark
+
+    # lift the budget cap once, before any trace, so block_s is the only
+    # variable under sweep
+    decode.VMEM_TILE_BUDGET = 1 << 24
 
     rng = np.random.default_rng(0)
     B, H, S, d = 8, 8, 8192, 64
     q = jnp.asarray(rng.standard_normal((B, H, 1, d)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, H * d)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, H * d)), jnp.bfloat16)
     lengths = jnp.asarray([S] * B, jnp.int32)
     results = {}
-    for budget_kib in (512, 1024, 2048, 4096, 8192):
-        decode.VMEM_TILE_BUDGET = budget_kib << 10
+    for block_s in (256, 512, 1024, 2048, 4096):
         t = benchmark(
-            lambda q: decode.flash_decode_attention(q, k, v, lengths),
-            q, name=f"tiles_{budget_kib}KiB").mean_ms
-        results[f"{budget_kib}KiB"] = {
+            lambda q, bs=block_s: decode.flash_decode_attention(
+                q, k, v, lengths, block_s=bs),
+            q, name=f"block_s_{block_s}").mean_ms
+        results[f"block_s={block_s}"] = {
             "ms": round(t, 4),
             "GBps": round(B * H * S * d * 2 * 2 / (t * 1e-3) / 1e9),
         }
@@ -43,33 +53,37 @@ def sweep_tiles():
 
 def main():
     from tpu_flash.kernels.decode import flash_decode_attention as fda
+    from tpu_flash.inference.kv_cache import KVCache
     from tpu_flash.utils.timing import benchmark
 
     rng = np.random.default_rng(0)
     B, H, S, d = 8, 8, 8192, 64
     q = jnp.asarray(rng.standard_normal((B, H, 1, d)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.bfloat16)
+    k4 = rng.standard_normal((B, H, S, d)).astype(np.float32)
+    v4 = rng.standard_normal((B, H, S, d)).astype(np.float32)
     lengths = jnp.asarray([S] * B, jnp.int32)
-    amax = jnp.max(jnp.abs(k.astype(jnp.float32)), axis=-1, keepdims=True)
-    kq = amax / 127.0
-    k8 = jnp.clip(jnp.round(k.astype(jnp.float32) / kq), -127, 127
-                  ).astype(jnp.int8)
-    amax = jnp.max(jnp.abs(v.astype(jnp.float32)), axis=-1, keepdims=True)
-    vq = amax / 127.0
-    v8 = jnp.clip(jnp.round(v.astype(jnp.float32) / vq), -127, 127
-                  ).astype(jnp.int8)
-    # kernel takes per-position scales lane-major: [B, H, 1, S]
-    ks = kq[..., 0][:, :, None, :]
-    vs = vq[..., 0][:, :, None, :]
+
+    # native heads-minor cache layout [B, S, H*d] (what KVCache stores)
+    k = jnp.asarray(k4.transpose(0, 2, 1, 3).reshape(B, S, H * d),
+                    jnp.bfloat16)
+    v = jnp.asarray(v4.transpose(0, 2, 1, 3).reshape(B, S, H * d),
+                    jnp.bfloat16)
+
+    # int8 cache via the production quantizer
+    c8 = KVCache.create(B, H, S, d, quant="int8", compute_dtype=jnp.bfloat16)
+    c8 = c8.append(jnp.asarray(k4, jnp.bfloat16), jnp.asarray(v4, jnp.bfloat16))
+    k8, v8, ks, vs = c8.k, c8.v, c8.k_scale, c8.v_scale
+
+    kf = jnp.asarray(k4, jnp.bfloat16)
+    vf = jnp.asarray(v4, jnp.bfloat16)
 
     def xla_ref(q):
         s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                       k.astype(jnp.float32)) / np.sqrt(d)
+                       kf.astype(jnp.float32)) / np.sqrt(d)
         mask = jnp.arange(S)[None, None, None, :] < lengths[:, None, None, None]
         p = jax.nn.softmax(jnp.where(mask, s, -1e9), -1)
         return jnp.einsum("bhqk,bhkd->bhqd", p,
-                          v.astype(jnp.float32)).astype(q.dtype)
+                          vf.astype(jnp.float32)).astype(q.dtype)
 
     t_bf = benchmark(lambda q: fda(q, k, v, lengths), q, name="bf16").mean_ms
     t_i8 = benchmark(lambda q: fda(q, k8, v8, lengths, ks, vs), q,

@@ -27,7 +27,8 @@ def _gather_cache(c: KVCache, idx: jax.Array) -> KVCache:
     """Reorder the cache's batch dimension by ``idx`` [B*W]."""
     take = lambda a: None if a is None else a[idx]
     return KVCache(take(c.k), take(c.v), take(c.k_scale), take(c.v_scale),
-                   c.lengths[idx], c.quant, c.compute_dtype)
+                   c.lengths[idx], c.quant, c.compute_dtype,
+                   n_head=c.n_head)
 
 
 def beam_generate(

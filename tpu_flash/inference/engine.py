@@ -131,7 +131,8 @@ class DecodeEngine:
                         mix(main.k_scale, one.k_scale),
                         mix(main.v_scale, one.v_scale),
                         jnp.where(sel, length, main.lengths),
-                        main.quant, main.compute_dtype)
+                        main.quant, main.compute_dtype,
+                        n_head=main.n_head)
 
                 caches = [scatter(m, o) for m, o in zip(caches, sub)]
                 return last, caches

@@ -8,26 +8,49 @@ re-runs the full prefix per token, SURVEY.md §3.5).
 Kernel design (decode is a *matvec* — bandwidth-bound, so the design is all
 about the memory system, not the MXU):
 
-  * grid (B, S_tiles) with key tiles innermost (sequential); each step
-    streams one [H, block_s, d] tile — ALL heads of a sequence at once, so
-    each DMA is megabytes, not hundreds of KB;
-  * scores and outputs are batched bf16 MXU dots over all heads; an
-    earlier version cast operands to fp32 for the dots, which runs the MXU
-    at fp32 rate (~4x slower) and made the kernel lose to XLA — the bf16
-    cast IS the dequant for int8/fp8 codes, and accumulation stays fp32;
-  * online softmax state ([H, 1] running max/sum, [H, d] accumulator) lives
-    in VMEM scratch across the key tiles of one sequence;
+  * the cache is stored HEADS-MINOR, ``[B, S, H*d]``: one key tile is a
+    single fully-contiguous ``[block_s, H*d]`` HBM slab.  The previous
+    ``[B, H, S, d]`` layout fetched H strided 128 KB stripes per tile and
+    topped out at ~380 GB/s; the contiguous layout streams at the chip's
+    ~820 GB/s spec rate — measured 1.96x end-to-end (bench/exp_decode_hm.py,
+    bench/exp_decode_layout.py, bench/RESULTS.md);
+  * queries enter as a BLOCK-DIAGONAL matrix ``qbd [M, H*d]`` with
+    ``qbd[h, h*d+i] = q[h, i] * softmax_scale`` so scores for all heads are
+    ONE dot against the tile, ``s = qbd @ K_tile^T -> [M, block_s]``, with
+    no transposes or reshapes of the streamed data; the epilogue extracts
+    each head's stripe of ``acc = P @ V_tile -> [M, H*d]``.  Off-stripe
+    garbage columns are never read.  GQA folds the g query heads of each KV
+    head into g rows sharing one stripe (M = g * KV-heads, padded to a
+    sublane multiple);
+  * grid (B, S_tiles) with key tiles innermost (sequential); online-softmax
+    state ([M, 1] running max/sum, [M, H*d] accumulator) lives in VMEM
+    scratch across the key tiles of one sequence;
+  * scores and outputs are batched bf16 MXU dots; an earlier version cast
+    operands to fp32, which runs the MXU at fp32 rate (~4x slower) — the
+    bf16 cast IS the dequant for int8/fp8 codes, accumulation stays fp32;
   * per-sequence prefix lengths arrive via scalar prefetch
     (PrefetchScalarGridSpec); tiles entirely beyond a sequence's length are
     skipped for compute AND for DMA — the index_map clamps out-of-range tile
     indices to the last in-range tile and Pallas elides the repeat fetch, so
     HBM traffic scales with the true prefix length, not the buffer size;
-  * INT8/FP8 KV codes are streamed and dequantized against per-position
-    scales folded into the [H, block_s] score/probability rows
+  * INT8/FP8 KV codes are streamed and dequantized against per-(head,
+    position) scales folded into the [M, block_s] score/probability rows
     (``q·(codes*scale) == (q·codes)*scale`` and
-    ``sum_j p_j (v_codes_j*scale_j) == sum_j (p_j*scale_j) v_codes_j``) —
-    the cache stays quantized in HBM, halving/quartering decode's dominant
-    bandwidth cost.
+    ``sum_j p_j (v_codes_j*scale_j) == sum_j (p_j*scale_j) v_codes_j``;
+    each block-diagonal row only ever reads its own head's stripe, so the
+    per-row scale is exact) — the cache stays quantized in HBM,
+    halving/quartering decode's dominant bandwidth cost.  Scales stay
+    per-KV-head ([Hpad, *] slabs, NOT one row per qbd row — that would
+    grow VMEM residency g-fold under GQA); the kernel expands them to
+    [M, block_s] with a tiny replication dot.  Small-slab caches keep the
+    whole [Hpad, pS] slab resident per sequence (one DMA per b); past
+    ``SCALE_RESIDENT_BUDGET`` the scales ride the same per-tile index map
+    as K/V so VMEM stays bounded for arbitrarily long caches.
+
+``flash_decode_attention`` accepts both layouts: 3-D ``[B, S, H*d]`` caches
+(native; zero-copy from :class:`tpu_flash.inference.kv_cache.KVCache`) and
+the legacy 4-D ``[B, H, S, d]`` (transposed on entry — fine for tests,
+wasteful for serving).
 """
 
 from __future__ import annotations
@@ -36,6 +59,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -45,27 +69,49 @@ from tpu_flash.kernels.common import (
     round_up,
 )
 
-# 1024-key tiles x all heads = 0.5-2 MB DMAs; big enough to stream at full
-# HBM rate, small enough that the fp32 broadcast intermediates fit VMEM.
+# 1024-key tiles = 1-4 MB contiguous DMAs; big enough to stream at full
+# HBM rate, small enough that double-buffered K+V tiles fit VMEM.
 DEFAULT_BLOCK_S = 1024
 
 # Double-buffered K+V tile budget (bytes). Grid-step fixed costs are ~1.5us,
 # so tiles must be large enough that their DMA time dominates; sweepable via
-# `python bench/bench_decode.py --sweep-tiles` (measured flat at 378-385 GB/s
-# from 512 through 4096-key tiles — the pattern's HBM ceiling, bench/RESULTS.md).
+# `python bench/bench_decode.py --sweep-tiles` (which passes block_s
+# explicitly — this module-level default is read at trace time, so mutating
+# it after a call has compiled does nothing).
 VMEM_TILE_BUDGET = 1 << 21
+
+# Per-sequence resident quantization-scale slabs ([Hpad, pS] fp32 x2) above
+# this size switch to per-tile fetches so VMEM stays bounded at large S.
+SCALE_RESIDENT_BUDGET = 1 << 21
 
 
 def _decode_kernel(
     lengths_ref,                                   # scalar prefetch [B]
-    q_ref, k_ref, ks_ref, v_ref, vs_ref,           # inputs
+    qbd_ref, k_ref, ks_ref, v_ref, vs_ref,         # inputs
     o_ref,                                         # output
     acc_ref, m_ref, l_ref,                         # scratch
-    *, scale, block_s, num_s, quantized, window,
+    *, block_s, num_s, quantized, scales_resident, window, M, Hpad, R, g, d,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
     length = lengths_ref[b]
+
+    def expand_scales(s_ref):
+        """[Hpad, block_s] per-KV-head scale tile -> [M, block_s], one row
+        per qbd row (row hq reads KV head hq // g).  A replication dot
+        (rep[hq, h] = (hq//g == h)) instead of repeat/reshape: Mosaic
+        cannot relayout middle-singleton squeezes, and the dot is tiny."""
+        tile = (s_ref[0, :, pl.ds(j * block_s, block_s)] if scales_resident
+                else s_ref[0])                          # [Hpad, bs]
+        if g == 1:
+            return tile                                 # M == Hpad
+        r = jax.lax.broadcasted_iota(jnp.int32, (M, Hpad), 0)
+        c = jax.lax.broadcasted_iota(jnp.int32, (M, Hpad), 1)
+        rep = jnp.where(r // g == c, 1.0, 0.0)
+        return jax.lax.dot_general(
+            rep, tile, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)         # [M, bs]
 
     @pl.when(j == 0)
     def _init():
@@ -80,55 +126,67 @@ def _decode_kernel(
 
     @pl.when(live)
     def _body():
-        # All intermediates keep the [Hkv, g, *] layout — Mosaic cannot
-        # relayout middle-singleton squeezes, so nothing is ever reshaped.
-        # g is the query-group size (GQA); for MHA g == 1.  Grouped query
-        # heads become the M dim of the per-KV-head matvec, so GQA also
-        # improves MXU utilization.
         # Dots run in the query dtype: bf16 queries keep the MXU at native
-        # bf16 rate (an earlier version cast everything to fp32, which runs
-        # the MXU ~4x slower and lost to XLA); fp32 queries keep exact
-        # parity.  For int8/fp8 codes the cast IS the dequant.
-        cd = q_ref.dtype
+        # bf16 rate; fp32 queries keep exact parity.  For int8/fp8 codes
+        # the cast IS the dequant (scales applied to the [M, bs] rows).
+        cd = qbd_ref.dtype
         prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
                 else jax.lax.Precision.DEFAULT)
-        q = q_ref[0]                                # [Hkv, g, d]
-        k = k_ref[0].astype(cd)                     # [Hkv, bs, d]
-        v = v_ref[0].astype(cd)                     # [Hkv, bs, d]
+        qbd = qbd_ref[0]                            # [M, HD]
+        k = k_ref[0].astype(cd)                     # [bs, HD]
+        v = v_ref[0].astype(cd)
 
         s = jax.lax.dot_general(
-            q, k, (((2,), (2,)), ((0,), (0,))),
+            qbd, k, (((1,), (1,)), ((), ())),
             precision=prec,
-            preferred_element_type=jnp.float32)     # [Hkv, g, bs]
+            preferred_element_type=jnp.float32)     # [M, bs]
         if quantized:
-            # [Hkv, 1, bs] broadcasts over the group dim
-            s = s * ks_ref[0, :, :, pl.ds(j * block_s, block_s)]
-        s = s * scale
-        pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = s * expand_scales(ks_ref)               # [M, bs]
+        pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, MASK_VALUE)
         if window is not None:
             s = jnp.where(pos >= length - window, s, MASK_VALUE)
 
-        m_prev, l_prev = m_ref[:], l_ref[:]         # [Hkv, g, 1]
+        m_prev, l_prev = m_ref[:], l_ref[:]         # [M, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                      # [Hkv, g, bs]
+        p = jnp.exp(s - m_new)                      # [M, bs]
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
-            p = p * vs_ref[0, :, :, pl.ds(j * block_s, block_s)]
+            p = p * expand_scales(vs_ref)               # [M, bs]
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
             precision=prec,
-            preferred_element_type=jnp.float32)     # [Hkv, g, d]
+            preferred_element_type=jnp.float32)     # [M, HD]
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = m_new
 
     @pl.when(j == num_s - 1)
     def _epilogue():
+        # Stripe extraction: row hq's output lives in KV head hq//g's
+        # column stripe; rows with the same group index u have disjoint
+        # stripes, so a [R, M] selection dot (sel[u, m] = (m % g == u and
+        # u < g)) collapses the masked accumulator to out[u, h*d+i] =
+        # attention of query head h*g+u in one tiny MXU op — no 3-D
+        # reshapes (Mosaic cannot relayout middle-singleton squeezes) and
+        # the R-row output padding falls out of the dot shape for free.
+        # Padding rows (hq >= true head count) have row//g beyond any
+        # col//d and are masked out before the dot.
         l_fin = l_ref[:]
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
-        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        HD = acc_ref.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (M, HD), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (M, HD), 1)
+        masked = jnp.where((col // d) == (row // g),
+                           acc_ref[:] / l_safe, 0.0)    # [M, HD]
+        u = jax.lax.broadcasted_iota(jnp.int32, (R, M), 0)
+        m = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1)
+        sel = jnp.where((m % g == u) & (u < g), 1.0, 0.0)
+        o_ref[0] = jax.lax.dot_general(
+            sel, masked, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -137,10 +195,10 @@ def _decode_kernel(
 )
 def flash_decode_attention(
     q: jax.Array,                 # [B, Hq, 1, d] queries (Hq = g * KV heads)
-    k_cache: jax.Array,           # [B, H, S, d] fp / int8 / fp8 codes
-    v_cache: jax.Array,
+    k_cache: jax.Array,           # [B, S, H*d] (native) or [B, H, S, d]
+    v_cache: jax.Array,           # fp / int8 / fp8 codes
     lengths: jax.Array,           # [B] int32 valid prefix lengths
-    k_scale: jax.Array | None = None,   # [B, H, 1, S] fp32, lane-major
+    k_scale: jax.Array | None = None,   # [B, H, S] fp32 (or legacy [B,H,1,S])
     v_scale: jax.Array | None = None,
     *,
     scale: float | None = None,
@@ -148,7 +206,7 @@ def flash_decode_attention(
     window: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Single-token attention over the cache; returns [B, H, 1, d].
+    """Single-token attention over the cache; returns [B, Hq, 1, d].
 
     ``window``: sliding-window decode — only the last ``window`` cached
     positions attend; tiles before the window repeat the first in-window
@@ -158,41 +216,84 @@ def flash_decode_attention(
         interpret = default_interpret()
     B, Hq, Lq, d = q.shape
     assert Lq == 1, "flash_decode_attention is the single-token path"
-    H = k_cache.shape[1]                    # KV heads (GQA: H <= Hq)
+    if k_cache.ndim == 4:
+        # legacy [B, H, S, d] layout: transpose into the native heads-minor
+        # form (an extra pass over the cache — callers on the hot path keep
+        # the cache heads-minor and skip this).
+        Bk, H, S, dk = k_cache.shape
+        k_cache = k_cache.transpose(0, 2, 1, 3).reshape(Bk, S, H * dk)
+        v_cache = v_cache.transpose(0, 2, 1, 3).reshape(Bk, S, H * dk)
+    HD = k_cache.shape[-1]
+    if HD % d:
+        raise ValueError(f"cache feature dim {HD} not a multiple of d={d}")
+    H = HD // d                             # KV heads (GQA: H <= Hq)
     if Hq % H:
         raise ValueError(
             f"query heads ({Hq}) must be a multiple of KV heads ({H})")
     g = Hq // H
-    S = k_cache.shape[2]
+    S = k_cache.shape[1]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
+    if k_scale is not None and k_scale.ndim == 4:   # legacy [B, H, 1, S]
+        k_scale = k_scale[:, :, 0, :]
+        v_scale = v_scale[:, :, 0, :]
+
+    # Row count: g rows per KV head, KV heads padded so M is a multiple of 8
+    # (fp32 sublane granularity).  Output rows R likewise.
+    Hpad = H
+    while g * Hpad < 8 or (g * Hpad) % 8:
+        Hpad += 1
+    M = g * Hpad
+    R = round_up(g, 8)
 
     # Cap the key-tile footprint so double-buffered K+V tiles (plus the
     # resident scale slabs) stay inside VMEM for any cache dtype: fp32
     # caches halve the tile, int8/fp8 double it.
     itemsize = jnp.dtype(k_cache.dtype).itemsize
     cap = 128
-    while (2 * cap) * 2 * H * d * itemsize <= VMEM_TILE_BUDGET \
+    while (2 * cap) * 2 * HD * itemsize <= VMEM_TILE_BUDGET \
             and cap < (1 << 20):
         cap *= 2
     block_s = min(block_s, cap)
     block_s = min(block_s, round_up(S, 128))
     pS = round_up(S, block_s)
     if pS != S:
-        pad = [(0, 0), (0, 0), (0, pS - S), (0, 0)]
-        k_cache = jnp.pad(k_cache, pad)
-        v_cache = jnp.pad(v_cache, pad)
+        k_cache = jnp.pad(k_cache, [(0, 0), (0, pS - S), (0, 0)])
+        v_cache = jnp.pad(v_cache, [(0, 0), (0, pS - S), (0, 0)])
         if k_scale is not None:
-            spad = [(0, 0), (0, 0), (0, 0), (0, pS - S)]
+            spad = [(0, 0), (0, 0), (0, pS - S)]
             k_scale = jnp.pad(k_scale, spad)
             v_scale = jnp.pad(v_scale, spad)
     num_s = pS // block_s
 
     quantized = k_scale is not None
-    if not quantized:
+    # Resident slabs (one DMA per sequence) while small; per-tile fetches
+    # past the budget so VMEM stays bounded at large S * many heads.
+    scales_resident = (quantized
+                       and 2 * Hpad * pS * 4 <= SCALE_RESIDENT_BUDGET)
+    if quantized:
+        # scales stay per-KV-head; only pad the head axis to Hpad (zeros —
+        # padding-row scores are discarded by the epilogue mask).  The
+        # g-fold expansion to qbd rows happens in-kernel.
+        if Hpad != H:
+            pad = [(0, 0), (0, Hpad - H), (0, 0)]
+            k_scale = jnp.pad(k_scale, pad)
+            v_scale = jnp.pad(v_scale, pad)
+    else:
         # dummy 1-wide scale operands keep one kernel signature
-        k_scale = jnp.ones((B, H, 1, 1), jnp.float32)
+        k_scale = jnp.ones((B, Hpad, 1), jnp.float32)
         v_scale = k_scale
+
+    # Block-diagonal scaled queries [B, M, HD]:
+    # qbd[b, h*g+u, h*d+i] = q[b, h*g+u, i] * scale, padding rows zero.
+    eye = np.zeros((M, HD), np.float32)
+    for hq in range(Hq):
+        h = hq // g
+        eye[hq, h * d:(h + 1) * d] = 1.0
+    qrows = jnp.tile(q.reshape(B, Hq, d).astype(jnp.float32) * scale,
+                     (1, 1, H))                               # [B, Hq, HD]
+    qrows = jnp.pad(qrows, ((0, 0), (0, M - Hq), (0, 0)))
+    qbd = (qrows * jnp.asarray(eye)[None]).astype(q.dtype)
 
     lengths = lengths.astype(jnp.int32)
     # Clamp out-of-range tiles onto the last in-range tile: Pallas skips the
@@ -205,41 +306,50 @@ def flash_decode_attention(
             first = jax.lax.max(
                 jax.lax.div(lengths_ref[b] - window, block_s), 0)
             j = jax.lax.max(j, jax.lax.min(first, last))
-        return (b, 0, j, 0)
+        return (b, j, 0)
 
-    # Scales: the full [H, S] slab is resident per b — constant block index
-    # over the kv loop, so Pallas fetches it once per b instead of issuing
-    # extra small DMAs every tile.
-    def scale_index(b, j, lengths_ref):
-        return (b, 0, 0, 0)
+    # Scales: small slabs are resident per b (constant block index over the
+    # kv loop — Pallas fetches once per b instead of issuing extra small
+    # DMAs every tile); large ones ride the clamped per-tile kv index.
+    if scales_resident:
+        scale_spec = pl.BlockSpec((1, Hpad, pS), lambda b, j, L: (b, 0, 0))
+    elif quantized:
+        scale_spec = pl.BlockSpec(
+            (1, Hpad, block_s),
+            lambda b, j, L: (kv_index(b, j, L)[0], 0, kv_index(b, j, L)[1]))
+    else:
+        scale_spec = pl.BlockSpec((1, Hpad, 1), lambda b, j, L: (b, 0, 0))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, num_s),
         in_specs=[
-            pl.BlockSpec((1, H, g, d), lambda b, j, L: (b, 0, 0, 0)),
-            pl.BlockSpec((1, H, block_s, d), kv_index),
-            pl.BlockSpec((1, H, 1, pS if quantized else 1), scale_index),
-            pl.BlockSpec((1, H, block_s, d), kv_index),
-            pl.BlockSpec((1, H, 1, pS if quantized else 1), scale_index),
+            pl.BlockSpec((1, M, HD), lambda b, j, L: (b, 0, 0)),
+            pl.BlockSpec((1, block_s, HD), kv_index),
+            scale_spec,
+            pl.BlockSpec((1, block_s, HD), kv_index),
+            scale_spec,
         ],
-        out_specs=pl.BlockSpec((1, H, g, d), lambda b, j, L: (b, 0, 0, 0)),
+        out_specs=pl.BlockSpec((1, R, HD), lambda b, j, L: (b, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((H, g, d), jnp.float32),
-            pltpu.VMEM((H, g, 1), jnp.float32),
-            pltpu.VMEM((H, g, 1), jnp.float32),
+            pltpu.VMEM((M, HD), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.float32),
+            pltpu.VMEM((M, 1), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _decode_kernel, scale=scale, block_s=block_s, num_s=num_s,
-        quantized=quantized, window=window)
+        _decode_kernel, block_s=block_s, num_s=num_s,
+        quantized=quantized, scales_resident=scales_resident,
+        window=window, M=M, Hpad=Hpad, R=R, g=g, d=d)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, g, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, R, HD), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(lengths, q.reshape(B, H, g, d), k_cache, k_scale, v_cache, v_scale)
+    )(lengths, qbd, k_cache, k_scale, v_cache, v_scale)
+    # out[b, u, h*d+i] = query head h*g+u -> [B, Hq, 1, d]
+    out = out[:, :g].reshape(B, g, H, d).transpose(0, 2, 1, 3)
     return out.reshape(B, Hq, 1, d)

@@ -224,32 +224,36 @@ class MultiHeadAttention(Module):
                 return flash_decode_attention(
                     q, cache.k, cache.v, cache.lengths,
                     cache.k_scale, cache.v_scale, window=c.window)
-            Hkv = cache.k.shape[1]
+            Hkv = cache.n_head
             if (q.shape[0] % ctx.data_size == 0
                     and q.shape[1] % ctx.model_size == 0
                     and Hkv % ctx.model_size == 0):
                 # Tensor-parallel decode: heads sharded over the model axis,
                 # sequences over data; the kernel runs per-shard inside
                 # shard_map (GSPMD cannot partition a pallas_call), so the
-                # tensor-sharded KV-cache never leaves its chip.
+                # tensor-sharded KV-cache never leaves its chip.  The
+                # heads-minor cache shards its fused H*d axis — head stripes
+                # are contiguous, so Hkv % model == 0 keeps shards aligned.
                 from jax.sharding import PartitionSpec as P
 
-                hspec = P(ctx.data_axis, ctx.model_axis, None, None)
+                qspec = P(ctx.data_axis, ctx.model_axis, None, None)
+                kvspec = P(ctx.data_axis, None, ctx.model_axis)
+                sspec = P(ctx.data_axis, ctx.model_axis, None)
                 lspec = P(ctx.data_axis)
                 if cache.k_scale is None:
                     fn = jax.shard_map(
                         lambda q, k, v, ln: flash_decode_attention(
                             q, k, v, ln, window=c.window),
                         mesh=ctx.mesh,
-                        in_specs=(hspec, hspec, hspec, lspec),
-                        out_specs=hspec, check_vma=False)
+                        in_specs=(qspec, kvspec, kvspec, lspec),
+                        out_specs=qspec, check_vma=False)
                     return fn(q, cache.k, cache.v, cache.lengths)
                 fn = jax.shard_map(
                     lambda q, k, v, ln, ks, vs: flash_decode_attention(
                         q, k, v, ln, ks, vs, window=c.window),
                     mesh=ctx.mesh,
-                    in_specs=(hspec, hspec, hspec, lspec, hspec, hspec),
-                    out_specs=hspec, check_vma=False)
+                    in_specs=(qspec, kvspec, kvspec, lspec, sspec, sspec),
+                    out_specs=qspec, check_vma=False)
                 return fn(q, cache.k, cache.v, cache.lengths,
                           cache.k_scale, cache.v_scale)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
