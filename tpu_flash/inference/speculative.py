@@ -1,0 +1,176 @@
+"""Speculative decoding: draft-model proposals verified by the target model.
+
+A serving-path capability beyond the reference (whose generate() re-runs the
+full prefix per token, project/run_machine_translation.py:250-301): decode on
+TPU is HBM-bandwidth-bound — one verification forward over ``k`` draft
+tokens streams the same KV-cache bytes as a single-token step, so accepting
+``m`` drafts yields ``m+1`` tokens for ~one step's worth of cache traffic
+plus the (cheap) draft model's steps.
+
+Design (greedy / temperature-0 acceptance):
+
+  * both models follow the sampler's cache convention — the cache holds
+    every *fed* token, ``pending`` is the newest emitted-but-not-yet-fed
+    token;
+  * per round the draft model runs ``n_draft`` single-token steps (each via
+    the Pallas flash-decode kernel) proposing ``d_1..d_{n_draft-1}`` after
+    ``pending`` (the last step only writes its KV so full-acceptance rounds
+    leave the draft cache position-complete);
+  * the target model runs ONE multi-token forward over
+    ``[pending, d_1..d_{n_draft-1}]`` (the same cached multi-token attention
+    the prefill path uses), giving its greedy choice after every prefix;
+  * the longest prefix of drafts matching the target's choices is accepted,
+    then the target's next choice is emitted as correction (on mismatch) or
+    bonus (all accepted) and becomes the new ``pending``;
+  * rollback is O(1): stale cache positions past a sequence's ``lengths``
+    are never attended, so rejecting drafts is just not advancing
+    ``lengths`` past the accepted prefix.
+
+Guarantee: output is the target model's own greedy decode, token for token
+(acceptance only ever compares against the target's argmax) — the draft
+model changes the speed, never the result.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tpu_flash.inference.sampler import SamplingConfig, prefill_prompt
+
+
+def speculative_generate(
+    model,
+    params,
+    draft_model,
+    draft_params,
+    prompt_ids: jax.Array,        # [B, Lp] int32, right-padded with pad_id
+    prompt_lengths: jax.Array,    # [B] int32 true prompt lengths
+    sampling: SamplingConfig,
+    *,
+    max_len: int,
+    n_draft: int = 4,
+    kv_quant: str = "none",
+    draft_kv_quant: str = "none",
+    pad_id: int = 0,
+):
+    """Greedy speculative decode; returns (tokens [B, max_new_tokens],
+    lengths-of-generation [B]) exactly like :func:`sampler.generate`.
+
+    ``n_draft`` is the number of tokens fed to the target per verification
+    round (1 draft-model step fewer); ``n_draft=1`` degenerates to plain
+    (non-speculative) decode through the verification path.  Both models
+    must share the vocabulary.  ``max_len`` must leave ``n_draft`` slack
+    beyond prompt + max_new_tokens (a round may briefly overshoot before
+    rollback).
+    """
+    if sampling.temperature > 0.0:
+        raise NotImplementedError(
+            "speculative_generate currently implements greedy (temperature"
+            "-0) acceptance; stochastic rejection sampling is future work")
+    if n_draft < 1:
+        raise ValueError("n_draft must be >= 1")
+    B, _ = prompt_ids.shape
+    W = n_draft
+    max_new = sampling.max_new_tokens
+    eos = sampling.eos_id
+
+    t_last, t_caches = prefill_prompt(
+        model, params, prompt_ids, prompt_lengths,
+        max_len=max_len, kv_quant=kv_quant)
+    d_last, d_caches = prefill_prompt(
+        draft_model, draft_params, prompt_ids, prompt_lengths,
+        max_len=max_len, kv_quant=draft_kv_quant)
+    del d_last  # the draft always continues from the target's tokens
+
+    pending = jnp.argmax(t_last, axis=-1).astype(jnp.int32)  # first emission
+    t_flat, t_tree = jax.tree_util.tree_flatten(t_caches)
+    d_flat, d_tree = jax.tree_util.tree_flatten(d_caches)
+
+    ar = jnp.arange(W, dtype=jnp.int32)[None, :]             # [1, W]
+    b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
+
+    def cond(state):
+        _, _, _, _, out_n, done = state
+        return jnp.logical_not(
+            jnp.all(jnp.logical_or(done, out_n >= max_new)))
+
+    def body(state):
+        pending, t_flat, d_flat, out_tokens, out_n, done = state
+        t_caches = jax.tree_util.tree_unflatten(t_tree, t_flat)
+        d_caches = jax.tree_util.tree_unflatten(d_tree, d_flat)
+        t_len = t_caches[0].lengths                          # [B] == C
+        d_len0 = [c.lengths for c in d_caches]
+
+        # ---- draft W single-token steps (last one only for its KV write) --
+        def dstep(carry, _):
+            x, d_flat = carry
+            dc = jax.tree_util.tree_unflatten(d_tree, d_flat)
+            pos = dc[0].lengths[:, None]
+            logits, dc = draft_model(draft_params, x[:, None],
+                                     kv_caches=dc, positions=pos)
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            d_flat, _ = jax.tree_util.tree_flatten(dc)
+            return (nxt, d_flat), x
+
+        (_, d_flat), fed = jax.lax.scan(
+            dstep, (pending, d_flat), length=W)
+        seq = jnp.swapaxes(fed, 0, 1)                        # [B, W]: pending,
+        # d_1..d_{W-1} — exactly the tokens fed to the draft, in order.
+
+        # ---- one verification forward over all W tokens -------------------
+        positions = t_len[:, None] + ar                      # [B, W]
+        logits, t_caches = model(params, seq, kv_caches=t_caches,
+                                 positions=positions)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B, W]
+
+        # ---- longest accepted draft prefix + correction/bonus -------------
+        if W > 1:
+            match = (g[:, :-1] == seq[:, 1:]).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in 0..W-1
+        else:
+            m = jnp.zeros((B,), jnp.int32)
+        g_m = jnp.take_along_axis(g, m[:, None], axis=1)     # [B, 1]
+        drafts = jnp.concatenate(
+            [seq[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+        emitted = jnp.where(ar < m[:, None], drafts,
+                            jnp.where(ar == m[:, None], g_m, pad_id))
+
+        # ---- eos truncation, per-sequence output scatter ------------------
+        is_eos = (emitted == eos)
+        eos_before = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos
+        keep = ((ar <= m[:, None]) & (eos_before == 0)
+                & ~done[:, None] & (out_n[:, None] + ar < max_new))
+        cols = jnp.where(keep, out_n[:, None] + ar, max_new)  # OOB -> drop
+        out_tokens = out_tokens.at[b_idx, cols].set(
+            jnp.where(keep, emitted, pad_id), mode="drop")
+        n_emit = jnp.sum(keep.astype(jnp.int32), axis=1)
+        out_n = out_n + n_emit
+        new_done = jnp.logical_or(done, jnp.any(keep & is_eos, axis=1))
+
+        # ---- O(1) rollback: keep keys only for the accepted prefix --------
+        adv = jnp.where(done, 0, m + 1)
+        t_caches = [dataclasses.replace(c, lengths=t_len + adv)
+                    for c in t_caches]
+        d_caches = [dataclasses.replace(c, lengths=l0 + adv)
+                    for c, l0 in zip(d_caches, d_len0)]
+        t_flat, _ = jax.tree_util.tree_flatten(t_caches)
+        d_flat, _ = jax.tree_util.tree_flatten(d_caches)
+        pending = jnp.where(new_done, pad_id, g_m[:, 0])
+        return pending, t_flat, d_flat, out_tokens, out_n, new_done
+
+    # The round that produces a token emits it (g_m is both emitted and the
+    # next round's ``pending``) — so the prefill's token is emitted here.
+    out_tokens = jnp.full((B, max_new), pad_id, jnp.int32)
+    if max_new > 0:
+        out_tokens = out_tokens.at[:, 0].set(pending)
+    out_n = jnp.full((B,), min(1, max_new), jnp.int32)
+    done = jnp.logical_or(pending == eos, max_new <= 0)
+    state = (pending, t_flat, d_flat, out_tokens, out_n, done)
+    state = jax.lax.while_loop(cond, body, state)
+    _, _, _, out_tokens, _, _ = state
+    # same return contract as sampler.generate
+    n_gen = jnp.sum((out_tokens != pad_id).astype(jnp.int32), axis=-1)
+    return out_tokens, n_gen
