@@ -18,26 +18,31 @@ from tpu_flash.kernels.decode import flash_decode_attention
 
 
 def oracle(q, k, v, lengths, window=None):
-    """q [B,Hq,1,d] vs dequantized k/v [B,Hkv,S,d]."""
+    """q [B,Hq,Lq,d] (the last Lq cached tokens) vs dequantized k/v
+    [B,Hkv,S,d]: query i attends positions < lengths - Lq + i + 1."""
     B, Hkv, S, d = k.shape
+    Lq = q.shape[2]
     g = q.shape[1] // Hkv
     kk = jnp.repeat(k, g, axis=1).astype(jnp.float32)
     vv = jnp.repeat(v, g, axis=1).astype(jnp.float32)
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), kk) / np.sqrt(d)
     pos = jnp.arange(S)[None, None, None, :]
-    m = pos < lengths[:, None, None, None]
+    limit = (lengths[:, None, None, None] - Lq + 1
+             + jnp.arange(Lq)[None, None, :, None])
+    m = pos < limit
     if window is not None:
-        m &= pos >= (lengths[:, None, None, None] - window)
+        m &= pos >= (limit - window)
     p = jax.nn.softmax(jnp.where(m, s, -1e30), -1)
     return jnp.einsum("bhqk,bhkd->bhqd", p, vv)
 
 
-def run_case(rng, B, Hq, Hkv, S, d, dtype, quant, window=None, block_s=None):
-    q = jnp.asarray(rng.standard_normal((B, Hq, 1, d)) * 0.5, dtype)
+def run_case(rng, B, Hq, Hkv, S, d, dtype, quant, window=None, block_s=None,
+             Lq=1):
+    q = jnp.asarray(rng.standard_normal((B, Hq, Lq, d)) * 0.5, dtype)
     k4 = jnp.asarray(rng.standard_normal((B, Hkv, S, d)) * 0.5, dtype)
     v4 = jnp.asarray(rng.standard_normal((B, Hkv, S, d)) * 0.5, dtype)
     lengths = jnp.asarray(
-        [S] + [int(x) for x in rng.integers(1, S, B - 1)], jnp.int32)
+        [S] + [int(x) for x in rng.integers(Lq, S, B - 1)], jnp.int32)
     cache = KVCache.create(B, Hkv, S, d, quant=quant, compute_dtype=dtype)
     cache = cache.append(k4, v4)
     kw = {} if block_s is None else {"block_s": block_s}
@@ -66,6 +71,23 @@ def run_case(rng, B, Hq, Hkv, S, d, dtype, quant, window=None, block_s=None):
 def test_heads_minor_matches_oracle(rng, B, Hq, Hkv, S, d, dtype, quant,
                                     window):
     run_case(rng, B, Hq, Hkv, S, d, dtype, quant, window)
+
+
+@pytest.mark.parametrize(
+    "Lq,B,Hq,Hkv,S,d,dtype,quant,window",
+    [
+        (4, 2, 8, 8, 513, 64, jnp.float32, "none", None),   # MHA verify
+        (3, 2, 8, 2, 640, 64, jnp.bfloat16, "int8", None),  # GQA + quant
+        (2, 2, 5, 5, 384, 64, jnp.float32, "none", None),   # odd heads
+        (4, 2, 8, 4, 768, 64, jnp.bfloat16, "fp8", 200),    # window
+        (8, 1, 4, 1, 512, 32, jnp.float32, "none", None),   # MQA, Lq=8
+    ],
+)
+def test_multi_token_queries_match_oracle(rng, Lq, B, Hq, Hkv, S, d, dtype,
+                                          quant, window):
+    """Speculative-verification path: the last Lq cached tokens attend in
+    one cache pass, each query row with its own causal limit."""
+    run_case(rng, B, Hq, Hkv, S, d, dtype, quant, window, Lq=Lq)
 
 
 def test_non_resident_scale_tiles(rng, monkeypatch):

@@ -20,8 +20,12 @@ about the memory system, not the MXU):
     no transposes or reshapes of the streamed data; the epilogue extracts
     each head's stripe of ``acc = P @ V_tile -> [M, H*d]``.  Off-stripe
     garbage columns are never read.  GQA folds the g query heads of each KV
-    head into g rows sharing one stripe (M = g * KV-heads, padded to a
-    sublane multiple);
+    head into g rows sharing one stripe, and SMALL MULTI-TOKEN queries
+    (Lq > 1 — speculative-decoding verification) fold the same way: the
+    per-KV-head row group is G = Lq * g rows (token-major within the
+    group), each row carrying its own causal length limit
+    ``length - Lq + i + 1`` — so verifying Lq draft tokens streams the
+    cache ONCE (M = G * KV-heads, padded to a sublane multiple);
   * grid (B, S_tiles) with key tiles innermost (sequential); online-softmax
     state ([M, 1] running max/sum, [M, H*d] accumulator) lives in VMEM
     scratch across the key tiles of one sequence;
@@ -90,7 +94,8 @@ def _decode_kernel(
     qbd_ref, k_ref, ks_ref, v_ref, vs_ref,         # inputs
     o_ref,                                         # output
     acc_ref, m_ref, l_ref,                         # scratch
-    *, block_s, num_s, quantized, scales_resident, window, M, Hpad, R, g, d,
+    *, block_s, num_s, quantized, scales_resident, window, M, Hpad, R, G,
+    Lq, g, d,
 ):
     b = pl.program_id(0)
     j = pl.program_id(1)
@@ -98,16 +103,16 @@ def _decode_kernel(
 
     def expand_scales(s_ref):
         """[Hpad, block_s] per-KV-head scale tile -> [M, block_s], one row
-        per qbd row (row hq reads KV head hq // g).  A replication dot
-        (rep[hq, h] = (hq//g == h)) instead of repeat/reshape: Mosaic
+        per qbd row (row r reads KV head r // G).  A replication dot
+        (rep[r, h] = (r//G == h)) instead of repeat/reshape: Mosaic
         cannot relayout middle-singleton squeezes, and the dot is tiny."""
         tile = (s_ref[0, :, pl.ds(j * block_s, block_s)] if scales_resident
                 else s_ref[0])                          # [Hpad, bs]
-        if g == 1:
+        if G == 1:
             return tile                                 # M == Hpad
         r = jax.lax.broadcasted_iota(jnp.int32, (M, Hpad), 0)
         c = jax.lax.broadcasted_iota(jnp.int32, (M, Hpad), 1)
-        rep = jnp.where(r // g == c, 1.0, 0.0)
+        rep = jnp.where(r // G == c, 1.0, 0.0)
         return jax.lax.dot_general(
             rep, tile, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -121,8 +126,10 @@ def _decode_kernel(
 
     live = j * block_s < length
     if window is not None:
-        # sliding window: only keys in (length - window, length) attend
-        live = jnp.logical_and(live, (j + 1) * block_s > length - window)
+        # sliding window: the earliest position any query row attends is
+        # (length - Lq + 1) - window (row i's window ends at its own limit)
+        live = jnp.logical_and(
+            live, (j + 1) * block_s > length - window - (Lq - 1))
 
     @pl.when(live)
     def _body():
@@ -142,10 +149,14 @@ def _decode_kernel(
             preferred_element_type=jnp.float32)     # [M, bs]
         if quantized:
             s = s * expand_scales(ks_ref)               # [M, bs]
+        # Per-row causal limit: row (h, i, u) is query token i of Lq and
+        # attends positions < length - Lq + i + 1 (Lq == 1 => pos < length).
+        row1 = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+        limit = length - (Lq - 1) + (row1 % G) // g          # [M, 1]
         pos = j * block_s + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(pos < length, s, MASK_VALUE)
+        s = jnp.where(pos < limit, s, MASK_VALUE)
         if window is not None:
-            s = jnp.where(pos >= length - window, s, MASK_VALUE)
+            s = jnp.where(pos >= limit - window, s, MASK_VALUE)
 
         m_prev, l_prev = m_ref[:], l_ref[:]         # [M, 1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
@@ -164,25 +175,25 @@ def _decode_kernel(
 
     @pl.when(j == num_s - 1)
     def _epilogue():
-        # Stripe extraction: row hq's output lives in KV head hq//g's
-        # column stripe; rows with the same group index u have disjoint
-        # stripes, so a [R, M] selection dot (sel[u, m] = (m % g == u and
-        # u < g)) collapses the masked accumulator to out[u, h*d+i] =
-        # attention of query head h*g+u in one tiny MXU op — no 3-D
-        # reshapes (Mosaic cannot relayout middle-singleton squeezes) and
-        # the R-row output padding falls out of the dot shape for free.
-        # Padding rows (hq >= true head count) have row//g beyond any
+        # Stripe extraction: row r's output lives in KV head r//G's column
+        # stripe; rows with the same in-group index u have disjoint
+        # stripes, so a [R, M] selection dot (sel[u, m] = (m % G == u and
+        # u < G)) collapses the masked accumulator to out[u, h*d+c] =
+        # attention of group row u of KV head h in one tiny MXU op — no
+        # 3-D reshapes (Mosaic cannot relayout middle-singleton squeezes)
+        # and the R-row output padding falls out of the dot shape for
+        # free.  Padding rows (r//G >= true KV head count) exceed any
         # col//d and are masked out before the dot.
         l_fin = l_ref[:]
         l_safe = jnp.where(l_fin == 0.0, 1.0, l_fin)
         HD = acc_ref.shape[-1]
         row = jax.lax.broadcasted_iota(jnp.int32, (M, HD), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (M, HD), 1)
-        masked = jnp.where((col // d) == (row // g),
+        masked = jnp.where((col // d) == (row // G),
                            acc_ref[:] / l_safe, 0.0)    # [M, HD]
         u = jax.lax.broadcasted_iota(jnp.int32, (R, M), 0)
         m = jax.lax.broadcasted_iota(jnp.int32, (R, M), 1)
-        sel = jnp.where((m % g == u) & (u < g), 1.0, 0.0)
+        sel = jnp.where((m % G == u) & (u < G), 1.0, 0.0)
         o_ref[0] = jax.lax.dot_general(
             sel, masked, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -194,7 +205,7 @@ def _decode_kernel(
     static_argnames=("scale", "block_s", "window", "interpret"),
 )
 def flash_decode_attention(
-    q: jax.Array,                 # [B, Hq, 1, d] queries (Hq = g * KV heads)
+    q: jax.Array,                 # [B, Hq, Lq, d] queries (Hq = g * KV heads)
     k_cache: jax.Array,           # [B, S, H*d] (native) or [B, H, S, d]
     v_cache: jax.Array,           # fp / int8 / fp8 codes
     lengths: jax.Array,           # [B] int32 valid prefix lengths
@@ -206,16 +217,24 @@ def flash_decode_attention(
     window: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
-    """Single-token attention over the cache; returns [B, Hq, 1, d].
+    """Attention of the last Lq tokens over the cache; returns
+    [B, Hq, Lq, d].
+
+    Lq is normally 1 (plain decode).  Small Lq > 1 is the speculative-
+    verification path: the Lq query tokens are the last Lq cached
+    positions (query i attends positions < lengths - Lq + i + 1) and all
+    of them ride ONE pass over the cache — Lq just multiplies the
+    block-diagonal row group, not the HBM traffic.  Keep Lq small (the
+    VMEM accumulator is [Lq*Hq-ish, H*d]); prompt-scale prefill belongs on
+    the training flash kernel instead.
 
     ``window``: sliding-window decode — only the last ``window`` cached
-    positions attend; tiles before the window repeat the first in-window
-    tile index so their DMA is elided, making decode traffic O(window)
-    regardless of prefix length."""
+    positions attend (per query row); tiles before the earliest window
+    repeat the first in-window tile index so their DMA is elided, making
+    decode traffic O(window) regardless of prefix length."""
     if interpret is None:
         interpret = default_interpret()
     B, Hq, Lq, d = q.shape
-    assert Lq == 1, "flash_decode_attention is the single-token path"
     if k_cache.ndim == 4:
         # legacy [B, H, S, d] layout: transpose into the native heads-minor
         # form (an extra pass over the cache — callers on the hot path keep
@@ -238,13 +257,15 @@ def flash_decode_attention(
         k_scale = k_scale[:, :, 0, :]
         v_scale = v_scale[:, :, 0, :]
 
-    # Row count: g rows per KV head, KV heads padded so M is a multiple of 8
-    # (fp32 sublane granularity).  Output rows R likewise.
+    # Row count: G = Lq*g rows per KV head (token-major within the group),
+    # KV heads padded so M is a multiple of 8 (fp32 sublane granularity).
+    # Output rows R likewise.
+    G = Lq * g
     Hpad = H
-    while g * Hpad < 8 or (g * Hpad) % 8:
+    while G * Hpad < 8 or (G * Hpad) % 8:
         Hpad += 1
-    M = g * Hpad
-    R = round_up(g, 8)
+    M = G * Hpad
+    R = round_up(G, 8)
 
     # Cap the key-tile footprint so double-buffered K+V tiles (plus the
     # resident scale slabs) stay inside VMEM for any cache dtype: fp32
@@ -284,15 +305,18 @@ def flash_decode_attention(
         k_scale = jnp.ones((B, Hpad, 1), jnp.float32)
         v_scale = k_scale
 
-    # Block-diagonal scaled queries [B, M, HD]:
-    # qbd[b, h*g+u, h*d+i] = q[b, h*g+u, i] * scale, padding rows zero.
+    # Block-diagonal scaled queries [B, M, HD]: row h*G + i*g + u carries
+    # query head h*g+u, token i, in KV head h's column stripe; padding
+    # rows (h >= H) are zero.
+    nrows = H * G
     eye = np.zeros((M, HD), np.float32)
-    for hq in range(Hq):
-        h = hq // g
-        eye[hq, h * d:(h + 1) * d] = 1.0
-    qrows = jnp.tile(q.reshape(B, Hq, d).astype(jnp.float32) * scale,
-                     (1, 1, H))                               # [B, Hq, HD]
-    qrows = jnp.pad(qrows, ((0, 0), (0, M - Hq), (0, 0)))
+    for r in range(nrows):
+        h = r // G
+        eye[r, h * d:(h + 1) * d] = 1.0
+    # [B, Hq, Lq, d] -> rows (h, i, u): [B, H, g, Lq, d] -> [B, H, Lq, g, d]
+    qr = q.reshape(B, H, g, Lq, d).swapaxes(2, 3).reshape(B, nrows, d)
+    qrows = jnp.tile(qr.astype(jnp.float32) * scale, (1, 1, H))
+    qrows = jnp.pad(qrows, ((0, 0), (0, M - nrows), (0, 0)))
     qbd = (qrows * jnp.asarray(eye)[None]).astype(q.dtype)
 
     lengths = lengths.astype(jnp.int32)
@@ -304,7 +328,7 @@ def flash_decode_attention(
         j = jax.lax.min(j, last)
         if window is not None:
             first = jax.lax.max(
-                jax.lax.div(lengths_ref[b] - window, block_s), 0)
+                jax.lax.div(lengths_ref[b] - window - (Lq - 1), block_s), 0)
             j = jax.lax.max(j, jax.lax.min(first, last))
         return (b, j, 0)
 
@@ -340,7 +364,7 @@ def flash_decode_attention(
     kernel = functools.partial(
         _decode_kernel, block_s=block_s, num_s=num_s,
         quantized=quantized, scales_resident=scales_resident,
-        window=window, M=M, Hpad=Hpad, R=R, g=g, d=d)
+        window=window, M=M, Hpad=Hpad, R=R, G=G, Lq=Lq, g=g, d=d)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -350,6 +374,6 @@ def flash_decode_attention(
         ),
         interpret=interpret,
     )(lengths, qbd, k_cache, k_scale, v_cache, v_scale)
-    # out[b, u, h*d+i] = query head h*g+u -> [B, Hq, 1, d]
-    out = out[:, :g].reshape(B, g, H, d).transpose(0, 2, 1, 3)
-    return out.reshape(B, Hq, 1, d)
+    # out[b, i*g+u, h*d+c] = head h*g+u, token i -> [B, Hq, Lq, d]
+    out = out[:, :G].reshape(B, Lq, g, H, d).transpose(0, 3, 2, 1, 4)
+    return out.reshape(B, Hq, Lq, d)

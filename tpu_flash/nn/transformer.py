@@ -208,10 +208,12 @@ class MultiHeadAttention(Module):
     def _cached_attention(self, q, cache):
         """Decode-path attention over the cache.
 
-        Single-token steps route through the Pallas flash-decode kernel,
-        which streams the (possibly int8/fp8-quantized) cache codes from HBM
-        with dequant fused in VMEM and takes per-sequence lengths via scalar
-        prefetch (kernels/decode.py).  Multi-token prefill uses the XLA
+        Single-token steps — and small multi-token steps (speculative-
+        verification windows, Lq <= 8) — route through the Pallas
+        flash-decode kernel, which streams the (possibly int8/fp8-
+        quantized) cache codes from HBM ONCE with dequant fused in VMEM
+        and takes per-sequence lengths via scalar prefetch
+        (kernels/decode.py).  Longer multi-token prefill uses the XLA
         composed graph with the cache's dynamic-length mask.
         """
         from tpu_flash.kernels.decode import flash_decode_attention
@@ -219,7 +221,7 @@ class MultiHeadAttention(Module):
 
         c = self.cfg
         ctx = current_context()
-        if q.shape[2] == 1:
+        if q.shape[2] <= 8:
             if ctx is None:
                 return flash_decode_attention(
                     q, cache.k, cache.v, cache.lengths,
