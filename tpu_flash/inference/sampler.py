@@ -31,13 +31,14 @@ class SamplingConfig:
     eos_id: int = -1                # stop when generated (-1: never)
 
 
-def _sample_token(logits: jax.Array, cfg: SamplingConfig, key: jax.Array):
-    """logits [B, V] -> token ids [B]."""
-    if cfg.temperature <= 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+def adjusted_logits(logits: jax.Array, cfg: SamplingConfig) -> jax.Array:
+    """Apply temperature / top-k / top-p filtering; the sampling
+    distribution is ``softmax(adjusted_logits(...))`` (also the
+    distribution speculative rejection-sampling must preserve).
+    Requires cfg.temperature > 0."""
     logits = logits / cfg.temperature
     if cfg.top_k > 0:
-        kth = jnp.sort(logits, axis=-1)[:, -cfg.top_k][:, None]
+        kth = jnp.sort(logits, axis=-1)[..., -cfg.top_k, None]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if cfg.top_p < 1.0:
         # nucleus: keep the smallest prefix of the sorted distribution whose
@@ -46,10 +47,19 @@ def _sample_token(logits: jax.Array, cfg: SamplingConfig, key: jax.Array):
         sorted_logits = jnp.take_along_axis(logits, sort_idx, axis=-1)
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         keep_sorted = (jnp.cumsum(probs, axis=-1) - probs) < cfg.top_p
-        keep = jnp.zeros_like(keep_sorted).at[
-            jnp.arange(logits.shape[0])[:, None], sort_idx].set(keep_sorted)
+        keep = jnp.zeros_like(keep_sorted)
+        keep = jnp.put_along_axis(keep, sort_idx, keep_sorted, axis=-1,
+                                  inplace=False)
         logits = jnp.where(keep, logits, -jnp.inf)
-    return jax.random.categorical(key, logits, axis=-1).astype(jnp.int32)
+    return logits
+
+
+def _sample_token(logits: jax.Array, cfg: SamplingConfig, key: jax.Array):
+    """logits [B, V] -> token ids [B]."""
+    if cfg.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return jax.random.categorical(
+        key, adjusted_logits(logits, cfg), axis=-1).astype(jnp.int32)
 
 
 def make_caches(model, batch: int, max_len: int, *, quant: str = "none",

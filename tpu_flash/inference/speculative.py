@@ -3,11 +3,12 @@
 A serving-path capability beyond the reference (whose generate() re-runs the
 full prefix per token, project/run_machine_translation.py:250-301): decode on
 TPU is HBM-bandwidth-bound — one verification forward over ``k`` draft
-tokens streams the same KV-cache bytes as a single-token step, so accepting
-``m`` drafts yields ``m+1`` tokens for ~one step's worth of cache traffic
-plus the (cheap) draft model's steps.
+tokens streams the same KV-cache bytes as a single-token step (the flash-
+decode kernel folds the k tokens into its block-diagonal row group,
+kernels/decode.py), so accepting ``m`` drafts yields ``m+1`` tokens for ~one
+step's worth of cache traffic plus the (cheap) draft model's steps.
 
-Design (greedy / temperature-0 acceptance):
+Design:
 
   * both models follow the sampler's cache convention — the cache holds
     every *fed* token, ``pending`` is the newest emitted-but-not-yet-fed
@@ -17,18 +18,23 @@ Design (greedy / temperature-0 acceptance):
     ``pending`` (the last step only writes its KV so full-acceptance rounds
     leave the draft cache position-complete);
   * the target model runs ONE multi-token forward over
-    ``[pending, d_1..d_{n_draft-1}]`` (the same cached multi-token attention
-    the prefill path uses), giving its greedy choice after every prefix;
-  * the longest prefix of drafts matching the target's choices is accepted,
-    then the target's next choice is emitted as correction (on mismatch) or
-    bonus (all accepted) and becomes the new ``pending``;
+    ``[pending, d_1..d_{n_draft-1}]``, giving its distribution after every
+    prefix;
+  * greedy (temperature 0): a draft is accepted iff it equals the target's
+    argmax; the output is the target's own greedy decode, token for token —
+    the draft model changes the speed, never the result;
+  * stochastic (temperature > 0): standard speculative rejection sampling
+    (Leviathan et al. / Chen et al.) — draft token ``d`` sampled from
+    ``q`` is accepted with probability ``min(1, p(d)/q(d))`` against the
+    target's (temperature/top-k/top-p-adjusted) distribution ``p``; on
+    rejection the replacement is drawn from ``norm(max(p - q, 0))``, and
+    after a fully-accepted round the bonus token comes from ``p`` alone.
+    Each emitted token is *distributed* exactly as target-only sampling
+    (the draft cancels out), though the realized random stream differs
+    from :func:`sampler.generate`'s;
   * rollback is O(1): stale cache positions past a sequence's ``lengths``
     are never attended, so rejecting drafts is just not advancing
     ``lengths`` past the accepted prefix.
-
-Guarantee: output is the target model's own greedy decode, token for token
-(acceptance only ever compares against the target's argmax) — the draft
-model changes the speed, never the result.
 """
 
 from __future__ import annotations
@@ -38,7 +44,11 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from tpu_flash.inference.sampler import SamplingConfig, prefill_prompt
+from tpu_flash.inference.sampler import (
+    SamplingConfig,
+    adjusted_logits,
+    prefill_prompt,
+)
 
 
 def speculative_generate(
@@ -55,9 +65,11 @@ def speculative_generate(
     kv_quant: str = "none",
     draft_kv_quant: str = "none",
     pad_id: int = 0,
+    key: jax.Array | None = None,
 ):
-    """Greedy speculative decode; returns (tokens [B, max_new_tokens],
-    lengths-of-generation [B]) exactly like :func:`sampler.generate`.
+    """Speculative decode; returns (tokens [B, max_new_tokens],
+    lengths-of-generation [B]) with the same contract as
+    :func:`sampler.generate`.
 
     ``n_draft`` is the number of tokens fed to the target per verification
     round (1 draft-model step fewer); ``n_draft=1`` degenerates to plain
@@ -66,16 +78,15 @@ def speculative_generate(
     beyond prompt + max_new_tokens (a round may briefly overshoot before
     rollback).
     """
-    if sampling.temperature > 0.0:
-        raise NotImplementedError(
-            "speculative_generate currently implements greedy (temperature"
-            "-0) acceptance; stochastic rejection sampling is future work")
     if n_draft < 1:
         raise ValueError("n_draft must be >= 1")
+    stochastic = sampling.temperature > 0.0
     B, _ = prompt_ids.shape
     W = n_draft
     max_new = sampling.max_new_tokens
     eos = sampling.eos_id
+    if key is None:
+        key = jax.random.key(0)
 
     t_last, t_caches = prefill_prompt(
         model, params, prompt_ids, prompt_lengths,
@@ -85,7 +96,12 @@ def speculative_generate(
         max_len=max_len, kv_quant=draft_kv_quant)
     del d_last  # the draft always continues from the target's tokens
 
-    pending = jnp.argmax(t_last, axis=-1).astype(jnp.int32)  # first emission
+    if stochastic:
+        key, sub = jax.random.split(key)
+        pending = jax.random.categorical(
+            sub, adjusted_logits(t_last, sampling), axis=-1).astype(jnp.int32)
+    else:
+        pending = jnp.argmax(t_last, axis=-1).astype(jnp.int32)
     t_flat, t_tree = jax.tree_util.tree_flatten(t_caches)
     d_flat, d_tree = jax.tree_util.tree_flatten(d_caches)
 
@@ -93,12 +109,12 @@ def speculative_generate(
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     def cond(state):
-        _, _, _, _, out_n, done = state
+        _, _, _, _, out_n, done, _ = state
         return jnp.logical_not(
             jnp.all(jnp.logical_or(done, out_n >= max_new)))
 
     def body(state):
-        pending, t_flat, d_flat, out_tokens, out_n, done = state
+        pending, t_flat, d_flat, out_tokens, out_n, done, key = state
         t_caches = jax.tree_util.tree_unflatten(t_tree, t_flat)
         d_caches = jax.tree_util.tree_unflatten(d_tree, d_flat)
         t_len = t_caches[0].lengths                          # [B] == C
@@ -106,33 +122,70 @@ def speculative_generate(
 
         # ---- draft W single-token steps (last one only for its KV write) --
         def dstep(carry, _):
-            x, d_flat = carry
+            x, d_flat, key = carry
             dc = jax.tree_util.tree_unflatten(d_tree, d_flat)
             pos = dc[0].lengths[:, None]
             logits, dc = draft_model(draft_params, x[:, None],
                                      kv_caches=dc, positions=pos)
-            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            if stochastic:
+                al = adjusted_logits(logits[:, 0], sampling)
+                key, sub = jax.random.split(key)
+                nxt = jax.random.categorical(sub, al, -1).astype(jnp.int32)
+                qprobs = jax.nn.softmax(al, axis=-1)
+            else:
+                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+                qprobs = jnp.zeros((B, logits.shape[-1]), jnp.float32)
             d_flat, _ = jax.tree_util.tree_flatten(dc)
-            return (nxt, d_flat), x
+            return (nxt, d_flat, key), (x, qprobs)
 
-        (_, d_flat), fed = jax.lax.scan(
-            dstep, (pending, d_flat), length=W)
+        key, dkey = jax.random.split(key)
+        (_, d_flat, _), (fed, q) = jax.lax.scan(
+            dstep, (pending, d_flat, dkey), length=W)
         seq = jnp.swapaxes(fed, 0, 1)                        # [B, W]: pending,
         # d_1..d_{W-1} — exactly the tokens fed to the draft, in order.
+        q = jnp.swapaxes(q, 0, 1)                            # [B, W, V]:
+        # q[:, t] is the draft's sampling distribution for slot t+1.
 
         # ---- one verification forward over all W tokens -------------------
         positions = t_len[:, None] + ar                      # [B, W]
         logits, t_caches = model(params, seq, kv_caches=t_caches,
                                  positions=positions)
-        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B, W]
 
         # ---- longest accepted draft prefix + correction/bonus -------------
-        if W > 1:
-            match = (g[:, :-1] == seq[:, 1:]).astype(jnp.int32)
-            m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # [B] in 0..W-1
+        if stochastic:
+            p = jax.nn.softmax(adjusted_logits(logits, sampling), axis=-1)
+            if W > 1:
+                # accept d_{t+1} iff u*q(d) < p(d)  (== u < min(1, p/q))
+                d_next = seq[:, 1:, None]
+                p_d = jnp.take_along_axis(p[:, :-1], d_next, -1)[..., 0]
+                q_d = jnp.take_along_axis(q[:, :-1], d_next, -1)[..., 0]
+                key, sub = jax.random.split(key)
+                u = jax.random.uniform(sub, (B, W - 1))
+                match = (u * q_d < p_d).astype(jnp.int32)
+                m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+            else:
+                m = jnp.zeros((B,), jnp.int32)
+            # replacement (rejection residual) or bonus (all accepted):
+            # q at the bonus slot is zero, making the residual p itself.
+            p_m = jnp.take_along_axis(
+                p, m[:, None, None], axis=1)[:, 0]           # [B, V]
+            q_m = jnp.take_along_axis(
+                q, m[:, None, None], axis=1)[:, 0]
+            q_m = jnp.where((m == W - 1)[:, None], 0.0, q_m)
+            resid = jnp.maximum(p_m - q_m, 0.0)
+            z = jnp.sum(resid, axis=-1, keepdims=True)
+            resid = jnp.where(z > 0, resid / z, p_m)
+            key, sub = jax.random.split(key)
+            g_m = jax.random.categorical(
+                sub, jnp.log(resid), axis=-1).astype(jnp.int32)[:, None]
         else:
-            m = jnp.zeros((B,), jnp.int32)
-        g_m = jnp.take_along_axis(g, m[:, None], axis=1)     # [B, 1]
+            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B, W]
+            if W > 1:
+                match = (g[:, :-1] == seq[:, 1:]).astype(jnp.int32)
+                m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # 0..W-1
+            else:
+                m = jnp.zeros((B,), jnp.int32)
+            g_m = jnp.take_along_axis(g, m[:, None], axis=1)     # [B, 1]
         drafts = jnp.concatenate(
             [seq[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
         emitted = jnp.where(ar < m[:, None], drafts,
@@ -159,7 +212,7 @@ def speculative_generate(
         t_flat, _ = jax.tree_util.tree_flatten(t_caches)
         d_flat, _ = jax.tree_util.tree_flatten(d_caches)
         pending = jnp.where(new_done, pad_id, g_m[:, 0])
-        return pending, t_flat, d_flat, out_tokens, out_n, new_done
+        return pending, t_flat, d_flat, out_tokens, out_n, new_done, key
 
     # The round that produces a token emits it (g_m is both emitted and the
     # next round's ``pending``) — so the prefill's token is emitted here.
@@ -168,9 +221,9 @@ def speculative_generate(
         out_tokens = out_tokens.at[:, 0].set(pending)
     out_n = jnp.full((B,), min(1, max_new), jnp.int32)
     done = jnp.logical_or(pending == eos, max_new <= 0)
-    state = (pending, t_flat, d_flat, out_tokens, out_n, done)
+    state = (pending, t_flat, d_flat, out_tokens, out_n, done, key)
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, out_tokens, _, _ = state
+    _, _, _, out_tokens, _, _, _ = state
     # same return contract as sampler.generate
     n_gen = jnp.sum((out_tokens != pad_id).astype(jnp.int32), axis=-1)
     return out_tokens, n_gen
