@@ -90,6 +90,32 @@ def test_multi_token_queries_match_oracle(rng, Lq, B, Hq, Hkv, S, d, dtype,
     run_case(rng, B, Hq, Hkv, S, d, dtype, quant, window, Lq=Lq)
 
 
+def test_multi_token_window_multi_tile(rng):
+    """Lq>1 + sliding window across MULTIPLE key tiles: exercises the
+    Lq-adjusted first-in-window tile clamp and the straddling-tile
+    masked-row handling (small block_s forces num_s > 1)."""
+    run_case(rng, 2, 8, 4, 1536, 64, jnp.float32, "none", window=300,
+             block_s=256, Lq=3)
+
+
+def test_short_lengths_rows_zero(rng):
+    """lengths[b] < Lq: query rows whose causal limit is <= 0 have an
+    empty attention set and must return exactly 0 (not a mean over stale
+    tile contents)."""
+    B, H, S, d, Lq = 2, 4, 512, 64, 4
+    q = jnp.asarray(rng.standard_normal((B, H, Lq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, d)), jnp.float32)
+    lengths = jnp.asarray([S, 2], jnp.int32)
+    out = flash_decode_attention(q, k, v, lengths)
+    # row i of sequence 1 attends positions < 2 - 4 + i + 1 = i - 1
+    np.testing.assert_array_equal(out[1, :, :2], jnp.zeros((H, 2, d)))
+    ref = oracle(q, k, v, lengths)
+    np.testing.assert_allclose(out[1, :, 2:], ref[1, :, 2:],
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(out[0], ref[0], atol=1e-5, rtol=1e-5)
+
+
 def test_non_resident_scale_tiles(rng, monkeypatch):
     """Past SCALE_RESIDENT_BUDGET the quantization scales ride the per-tile
     clamped kv index instead of staying VMEM-resident — results must be

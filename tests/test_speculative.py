@@ -45,16 +45,23 @@ def test_speculative_matches_greedy(rng, n_draft):
 
 
 def test_speculative_self_draft_exact(rng):
-    """draft == target: every draft is accepted and the output is still the
-    plain greedy decode."""
+    """draft == target: every draft must be accepted (this is the test
+    that notices a corrupted draft cache — output equality alone holds for
+    ANY draft by construction) and the output is the plain greedy
+    decode in the minimum number of rounds."""
     model, params = make_model(0)
     ids, lengths = prompts(rng)
-    cfg = SamplingConfig(max_new_tokens=10, temperature=0.0)
+    n_draft, max_new = 4, 10
+    cfg = SamplingConfig(max_new_tokens=max_new, temperature=0.0)
     ref_toks, _ = generate(model, params, ids, lengths, cfg, max_len=64)
-    toks, _ = speculative_generate(
+    toks, _, stats = speculative_generate(
         model, params, model, params, ids, lengths, cfg,
-        max_len=64, n_draft=4)
+        max_len=64, n_draft=n_draft, return_stats=True)
     np.testing.assert_array_equal(toks, ref_toks)
+    np.testing.assert_array_equal(stats["accepted"], stats["drafted"])
+    # each round emits n_draft tokens when everything is accepted; the
+    # first token comes from prefill
+    assert int(stats["rounds"]) == -(-(max_new - 1) // n_draft)
 
 
 def test_speculative_eos_stops(rng):

@@ -66,10 +66,14 @@ def speculative_generate(
     draft_kv_quant: str = "none",
     pad_id: int = 0,
     key: jax.Array | None = None,
+    return_stats: bool = False,
 ):
     """Speculative decode; returns (tokens [B, max_new_tokens],
     lengths-of-generation [B]) with the same contract as
-    :func:`sampler.generate`.
+    :func:`sampler.generate`.  With ``return_stats`` a third element
+    ``{"rounds", "drafted", "accepted"}`` reports verification rounds and
+    per-sequence draft acceptance — accepted/drafted is the acceptance
+    rate that determines the speedup.
 
     ``n_draft`` is the number of tokens fed to the target per verification
     round (1 draft-model step fewer); ``n_draft=1`` degenerates to plain
@@ -109,12 +113,13 @@ def speculative_generate(
     b_idx = jnp.arange(B, dtype=jnp.int32)[:, None]
 
     def cond(state):
-        _, _, _, _, out_n, done, _ = state
+        out_n, done = state[4], state[5]
         return jnp.logical_not(
             jnp.all(jnp.logical_or(done, out_n >= max_new)))
 
     def body(state):
-        pending, t_flat, d_flat, out_tokens, out_n, done, key = state
+        (pending, t_flat, d_flat, out_tokens, out_n, done, key,
+         rounds, drafted, accepted) = state
         t_caches = jax.tree_util.tree_unflatten(t_tree, t_flat)
         d_caches = jax.tree_util.tree_unflatten(d_tree, d_flat)
         t_len = t_caches[0].lengths                          # [B] == C
@@ -194,8 +199,10 @@ def speculative_generate(
         # ---- eos truncation, per-sequence output scatter ------------------
         is_eos = (emitted == eos)
         eos_before = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos
+        # rows already done or out of budget neither emit nor advance
+        active = jnp.logical_and(~done, out_n < max_new)
         keep = ((ar <= m[:, None]) & (eos_before == 0)
-                & ~done[:, None] & (out_n[:, None] + ar < max_new))
+                & active[:, None] & (out_n[:, None] + ar < max_new))
         cols = jnp.where(keep, out_n[:, None] + ar, max_new)  # OOB -> drop
         out_tokens = out_tokens.at[b_idx, cols].set(
             jnp.where(keep, emitted, pad_id), mode="drop")
@@ -204,15 +211,23 @@ def speculative_generate(
         new_done = jnp.logical_or(done, jnp.any(keep & is_eos, axis=1))
 
         # ---- O(1) rollback: keep keys only for the accepted prefix --------
-        adv = jnp.where(done, 0, m + 1)
+        # The draft caches carry the scan's KV writes — unflatten the
+        # POST-scan d_flat (an earlier version re-flattened the stale
+        # pre-scan list, silently zeroing every drafted token's KV).
+        adv = jnp.where(active, m + 1, 0)
         t_caches = [dataclasses.replace(c, lengths=t_len + adv)
                     for c in t_caches]
+        d_caches = jax.tree_util.tree_unflatten(d_tree, d_flat)
         d_caches = [dataclasses.replace(c, lengths=l0 + adv)
                     for c, l0 in zip(d_caches, d_len0)]
         t_flat, _ = jax.tree_util.tree_flatten(t_caches)
         d_flat, _ = jax.tree_util.tree_flatten(d_caches)
         pending = jnp.where(new_done, pad_id, g_m[:, 0])
-        return pending, t_flat, d_flat, out_tokens, out_n, new_done, key
+        rounds = rounds + 1
+        drafted = drafted + jnp.where(active, W - 1, 0)
+        accepted = accepted + jnp.where(active, m, 0)
+        return (pending, t_flat, d_flat, out_tokens, out_n, new_done, key,
+                rounds, drafted, accepted)
 
     # The round that produces a token emits it (g_m is both emitted and the
     # next round's ``pending``) — so the prefill's token is emitted here.
@@ -221,9 +236,15 @@ def speculative_generate(
         out_tokens = out_tokens.at[:, 0].set(pending)
     out_n = jnp.full((B,), min(1, max_new), jnp.int32)
     done = jnp.logical_or(pending == eos, max_new <= 0)
-    state = (pending, t_flat, d_flat, out_tokens, out_n, done, key)
+    state = (pending, t_flat, d_flat, out_tokens, out_n, done, key,
+             jnp.zeros((), jnp.int32), jnp.zeros((B,), jnp.int32),
+             jnp.zeros((B,), jnp.int32))
     state = jax.lax.while_loop(cond, body, state)
-    _, _, _, out_tokens, _, _, _ = state
+    out_tokens, rounds, drafted, accepted = state[3], state[7], state[8], \
+        state[9]
     # same return contract as sampler.generate
     n_gen = jnp.sum((out_tokens != pad_id).astype(jnp.int32), axis=-1)
+    if return_stats:
+        stats = {"rounds": rounds, "drafted": drafted, "accepted": accepted}
+        return out_tokens, n_gen, stats
     return out_tokens, n_gen

@@ -163,6 +163,12 @@ def _decode_kernel(
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         p = jnp.exp(s - m_new)                      # [M, bs]
+        # Rows that have seen nothing but mask (m_new == MASK_VALUE —
+        # possible when lengths[b] < Lq makes a row's causal limit <= 0)
+        # would otherwise turn exp(MASK - MASK) == 1 into a mean over the
+        # tile; zero them so such rows output 0 (the Lq == 1 behavior for
+        # lengths == 0).
+        p = jnp.where(m_new > MASK_VALUE * 0.5, p, 0.0)
         l_ref[:] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
             p = p * expand_scales(vs_ref)               # [M, bs]
