@@ -147,3 +147,82 @@ def test_run_many_staggered_budgets_matches_reference():
         exp = greedy_reference(model, params, prompts[c.uid], 7)
         assert c.tokens == exp[:len(c.tokens)] and len(c.tokens) == 7, (
             c.uid, c.tokens, exp)
+
+
+def make_draft(seed=5):
+    cfg = nn.DecoderConfig(n_vocab=64, n_embd=16, n_head=2, n_positions=128,
+                           n_layer=1, p_dropout=0.0, attention_kind="naive")
+    model = nn.DecoderLM(cfg)
+    return model, model.init(jax.random.key(seed))
+
+
+def test_engine_speculative_matches_reference_greedy():
+    """run_speculative must produce the target model's own greedy decode
+    (speculative output is draft-agnostic) across slot reuse."""
+    model, params = make_model()
+    draft, dparams = make_draft()
+    engine = DecodeEngine(
+        model, params, n_slots=2, max_len=64,
+        sampling=SamplingConfig(max_new_tokens=6),
+        draft_model=draft, draft_params=dparams, n_draft=3)
+    prompts = {1: [5, 6, 7], 2: [9, 8, 7, 6], 3: [11, 12], 4: [2, 3, 4, 5]}
+    for uid, p in prompts.items():
+        engine.submit(Request(uid, p))
+    done = engine.run_speculative()
+    assert sorted(c.uid for c in done) == [1, 2, 3, 4]
+    for c in done:
+        exp = greedy_reference(model, params, prompts[c.uid], 6)
+        assert c.tokens == exp, (c.uid, c.tokens, exp)
+
+
+def test_engine_speculative_near_capacity_matches_plain_engine():
+    """Rounds shrink near max_len instead of retiring early: speculative
+    completions (tokens AND finished_reason) must equal the plain engine's
+    even when n_draft overshoots the remaining cache room."""
+    model, params = make_model()
+    samp = SamplingConfig(max_new_tokens=30)
+    prompts = {1: [5, 6, 7, 9, 8, 7, 6, 11, 12], 2: [3, 4]}
+    plain = DecodeEngine(model, params, n_slots=2, max_len=16,
+                         sampling=samp)
+    spec = DecodeEngine(model, params, n_slots=2, max_len=16,
+                        sampling=samp, draft_model=model,
+                        draft_params=params, n_draft=6)
+    for uid, p in prompts.items():
+        plain.submit(Request(uid, p))
+        spec.submit(Request(uid, p))
+    ref = {c.uid: (c.tokens, c.finished_reason) for c in plain.run_many(4)}
+    got = {c.uid: (c.tokens, c.finished_reason)
+           for c in spec.run_speculative()}
+    assert got == ref, (got, ref)
+
+
+def test_engine_speculative_rejects_bad_n_draft():
+    model, params = make_model()
+    import pytest
+    with pytest.raises(ValueError):
+        DecodeEngine(model, params, n_slots=1, max_len=32,
+                     sampling=SamplingConfig(max_new_tokens=4),
+                     draft_model=model, draft_params=params, n_draft=0)
+
+
+def test_engine_speculative_self_draft_round_trip_efficiency():
+    """With draft == target every round emits n_draft tokens, so the number
+    of speculative steps (host round-trips) is the minimum — and the draft
+    cache machinery inside the engine must be intact for this to hold."""
+    model, params = make_model()
+    engine = DecodeEngine(
+        model, params, n_slots=2, max_len=64,
+        sampling=SamplingConfig(max_new_tokens=9),
+        draft_model=model, draft_params=params, n_draft=4)
+    engine.submit(Request(1, [5, 6, 7]))
+    engine.admit()
+    steps = 0
+    while engine.has_work():
+        engine.step_speculative()
+        steps += 1
+    done = engine.completions
+    assert len(done) == 1 and len(done[0].tokens) == 9
+    # 1 token from prefill + ceil(8 / 4) rounds
+    assert steps == 2, steps
+    exp = greedy_reference(model, params, [5, 6, 7], 9)
+    assert done[0].tokens == exp

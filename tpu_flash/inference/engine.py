@@ -55,7 +55,9 @@ class DecodeEngine:
 
     def __init__(self, model, params, *, n_slots: int, max_len: int,
                  sampling: SamplingConfig, kv_quant: str = "none",
-                 pad_id: int = 0, seed: int = 0):
+                 pad_id: int = 0, seed: int = 0,
+                 draft_model=None, draft_params=None, n_draft: int = 4,
+                 draft_kv_quant: str = "none"):
         self.model = model
         self.params = params
         self.n_slots = n_slots
@@ -76,8 +78,22 @@ class DecodeEngine:
         self.completions: list[Completion] = []
 
         self._decode_step = jax.jit(self._decode_step_impl)
-        self._prefill = {}       # bucket -> jitted fn
+        self._prefill = {}       # (is_draft, bucket) -> jitted fn
         self._decode_multi = {}  # n_steps -> jitted fn
+
+        # optional speculative decoding: a draft model with its own slot
+        # caches; step_speculative() emits up to n_draft tokens per
+        # verification round (and per host round-trip)
+        self.draft_model = draft_model
+        self.draft_params = draft_params
+        self.n_draft = n_draft
+        if draft_model is not None:
+            if n_draft < 1:
+                raise ValueError(f"n_draft must be >= 1, got {n_draft}")
+            self.draft_caches = make_caches(
+                draft_model, n_slots, max_len, quant=draft_kv_quant,
+                compute_dtype=draft_model.cfg.dtype)
+            self._spec_step = {}  # round width W -> jitted fn
 
     # ------------------------------------------------------------------ API
     def submit(self, req: Request) -> None:
@@ -104,18 +120,20 @@ class DecodeEngine:
         nxt = jnp.where(active, nxt, self.pad_id)
         return nxt, caches
 
-    def _get_prefill(self, bucket: int) -> Callable:
-        if bucket not in self._prefill:
+    def _get_prefill(self, bucket: int, *, draft: bool = False) -> Callable:
+        if (draft, bucket) not in self._prefill:
+            model = self.draft_model if draft else self.model
+
             def prefill(params, caches, slot_onehot, ids, length):
                 """Run a single prompt (padded to `bucket`) and scatter its
                 per-layer KV into the slot selected by `slot_onehot` [S]."""
                 sub = [KVCache.create(
-                    1, self.model.cfg.kv_heads, self.max_len,
-                    self.model.cfg.attn_hidden_dim, quant=c.quant,
+                    1, model.cfg.kv_heads, self.max_len,
+                    model.cfg.attn_hidden_dim, quant=c.quant,
                     compute_dtype=c.compute_dtype) for c in caches]
                 positions = jnp.arange(bucket, dtype=jnp.int32)[None, :]
-                logits, sub = self.model(params, ids[None, :],
-                                         kv_caches=sub, positions=positions)
+                logits, sub = model(params, ids[None, :],
+                                    kv_caches=sub, positions=positions)
                 last = jnp.take_along_axis(
                     logits, (length - 1)[None, None, None], axis=1)[0, 0]
 
@@ -136,8 +154,8 @@ class DecodeEngine:
 
                 caches = [scatter(m, o) for m, o in zip(caches, sub)]
                 return last, caches
-            self._prefill[bucket] = jax.jit(prefill)
-        return self._prefill[bucket]
+            self._prefill[(draft, bucket)] = jax.jit(prefill)
+        return self._prefill[(draft, bucket)]
 
     def admit(self) -> None:
         """Fill free slots from the queue (one prefill per admission)."""
@@ -155,6 +173,11 @@ class DecodeEngine:
             last_logits, self.caches = self._get_prefill(bucket)(
                 self.params, self.caches, jnp.asarray(onehot),
                 jnp.asarray(ids), jnp.asarray(len(prompt), jnp.int32))
+            if self.draft_model is not None:
+                _, self.draft_caches = self._get_prefill(bucket, draft=True)(
+                    self.draft_params, self.draft_caches,
+                    jnp.asarray(onehot), jnp.asarray(ids),
+                    jnp.asarray(len(prompt), jnp.int32))
             first = _sample_token(last_logits[None, :], self.sampling, sub)
             tok = int(first[0])
             self.slot_uid[slot] = req.uid
@@ -275,5 +298,79 @@ class DecodeEngine:
         while self.has_work():
             self.admit()
             self.step_many(n)
+        out, self.completions = self.completions, []
+        return out
+
+    # ------------------------------------------------- speculative stepping
+    def _spec_step_impl(self, params, dparams, t_caches, d_caches,
+                        tokens, active, key, n_draft: int):
+        """One draft-verify round for every slot (inference/speculative.py's
+        shared round): up to ``n_draft`` tokens per slot per host
+        round-trip, with the draft model paying the extra forwards instead
+        of the target."""
+        from tpu_flash.inference.speculative import speculative_round
+
+        emitted, m, g_m, t_caches, d_caches = speculative_round(
+            self.model, params, self.draft_model, dparams, self.sampling,
+            t_caches, d_caches, tokens, active, key, n_draft,
+            self.pad_id)
+        n_valid = jnp.where(active, m + 1, 0)
+        new_tokens = jnp.where(active, g_m, tokens)
+        return emitted, n_valid, t_caches, d_caches, new_tokens
+
+    def step_speculative(self) -> None:
+        """One speculative round over all active slots (requires a
+        ``draft_model``); emits up to ``n_draft`` tokens per slot.
+
+        The round width is clamped so no active slot's verification can
+        overrun its cache (like ``step_many``'s clamp): the final rounds
+        near capacity shrink instead of retiring early, so per-token
+        retirement in ``_host_emit`` fires at exactly the same point as
+        ``run()``'s."""
+        if self.draft_model is None:
+            raise ValueError("engine was built without a draft_model")
+        # retire slots with no cache room for even a single-token round
+        # (unreachable while _host_emit's length retirement holds; guard)
+        for slot in range(self.n_slots):
+            if (self.slot_uid[slot] is not None
+                    and self.slot_len[slot] + 1 >= self.max_len):
+                self.completions.append(Completion(
+                    self.slot_uid[slot], self.slot_tokens[slot], "length"))
+                self.slot_uid[slot] = None
+        active_mask = np.asarray(
+            [u is not None for u in self.slot_uid], bool)
+        if not active_mask.any():
+            return
+        # KV writes this round land at positions len..len+W-1 (< max_len)
+        room = self.max_len - max(
+            self.slot_len[i] for i in range(self.n_slots) if active_mask[i])
+        W = max(1, min(self.n_draft, room))
+        if W not in self._spec_step:
+            self._spec_step[W] = jax.jit(functools.partial(
+                self._spec_step_impl, n_draft=W))
+        self.key, sub = jax.random.split(self.key)
+        emitted, n_valid, self.caches, self.draft_caches, last = \
+            self._spec_step[W](self.params, self.draft_params, self.caches,
+                               self.draft_caches, self.last_tokens,
+                               jnp.asarray(active_mask), sub)
+        self.last_tokens = last
+        emitted_host = np.asarray(emitted)
+        n_valid_host = np.asarray(n_valid)
+        for slot in range(self.n_slots):
+            if not active_mask[slot]:
+                continue
+            base = self.slot_len[slot]
+            self.slot_len[slot] += int(n_valid_host[slot])
+            for j in range(int(n_valid_host[slot])):
+                if self.slot_uid[slot] is None:
+                    break         # retired mid-round (eos); rest discarded
+                self._host_emit(slot, int(emitted_host[slot, j]),
+                                base + j + 1, update_last=False)
+
+    def run_speculative(self) -> list[Completion]:
+        """Drain the queue with speculative rounds."""
+        while self.has_work():
+            self.admit()
+            self.step_speculative()
         out, self.completions = self.completions, []
         return out

@@ -51,6 +51,120 @@ from tpu_flash.inference.sampler import (
 )
 
 
+def speculative_round(
+    model, params, draft_model, draft_params,
+    sampling: SamplingConfig,
+    t_caches, d_caches,
+    pending: jax.Array,           # [B] newest emitted-but-not-fed token
+    active: jax.Array,            # [B] bool: rows that advance this round
+    key: jax.Array,
+    n_draft: int,
+    pad_id: int,
+):
+    """One draft-verify round (jit-traceable; the shared core of
+    :func:`speculative_generate` and the engine's speculative stepping).
+
+    Drafts ``n_draft - 1`` tokens, verifies ``[pending, drafts]`` in one
+    target forward, and rolls both caches back to the accepted prefix
+    (rows where ``active`` is False do not advance).  Returns
+    ``(emitted [B, n_draft], m [B], g_m [B], t_caches, d_caches)`` where
+    ``emitted[:, :m+1]`` are this round's tokens (accepted drafts then the
+    correction/bonus ``g_m``, which is the next round's ``pending``) and
+    trailing positions hold ``pad_id``.
+    """
+    W = n_draft
+    stochastic = sampling.temperature > 0.0
+    B = pending.shape[0]
+    ar = jnp.arange(W, dtype=jnp.int32)[None, :]
+    _, d_tree = jax.tree_util.tree_flatten(d_caches)
+    t_len = t_caches[0].lengths                          # [B] == C
+    d_len0 = [c.lengths for c in d_caches]
+    d_flat, _ = jax.tree_util.tree_flatten(d_caches)
+
+    # ---- draft W single-token steps (last one only for its KV write) ------
+    def dstep(carry, _):
+        x, d_flat, key = carry
+        dc = jax.tree_util.tree_unflatten(d_tree, d_flat)
+        pos = dc[0].lengths[:, None]
+        logits, dc = draft_model(draft_params, x[:, None],
+                                 kv_caches=dc, positions=pos)
+        if stochastic:
+            al = adjusted_logits(logits[:, 0], sampling)
+            key, sub = jax.random.split(key)
+            nxt = jax.random.categorical(sub, al, -1).astype(jnp.int32)
+            qprobs = jax.nn.softmax(al, axis=-1)
+        else:
+            nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            qprobs = jnp.zeros((B, logits.shape[-1]), jnp.float32)
+        d_flat, _ = jax.tree_util.tree_flatten(dc)
+        return (nxt, d_flat, key), (x, qprobs)
+
+    key, dkey = jax.random.split(key)
+    (_, d_flat, _), (fed, q) = jax.lax.scan(
+        dstep, (pending, d_flat, dkey), length=W)
+    seq = jnp.swapaxes(fed, 0, 1)                        # [B, W]: pending,
+    # d_1..d_{W-1} — exactly the tokens fed to the draft, in order.
+    q = jnp.swapaxes(q, 0, 1)                            # [B, W, V]:
+    # q[:, t] is the draft's sampling distribution for slot t+1.
+
+    # ---- one verification forward over all W tokens -----------------------
+    positions = t_len[:, None] + ar                      # [B, W]
+    logits, t_caches = model(params, seq, kv_caches=t_caches,
+                             positions=positions)
+
+    # ---- longest accepted draft prefix + correction/bonus -----------------
+    if stochastic:
+        p = jax.nn.softmax(adjusted_logits(logits, sampling), axis=-1)
+        if W > 1:
+            # accept d_{t+1} iff u*q(d) < p(d)  (== u < min(1, p/q))
+            d_next = seq[:, 1:, None]
+            p_d = jnp.take_along_axis(p[:, :-1], d_next, -1)[..., 0]
+            q_d = jnp.take_along_axis(q[:, :-1], d_next, -1)[..., 0]
+            key, sub = jax.random.split(key)
+            u = jax.random.uniform(sub, (B, W - 1))
+            match = (u * q_d < p_d).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
+        else:
+            m = jnp.zeros((B,), jnp.int32)
+        # replacement (rejection residual) or bonus (all accepted):
+        # q at the bonus slot is zero, making the residual p itself.
+        p_m = jnp.take_along_axis(
+            p, m[:, None, None], axis=1)[:, 0]           # [B, V]
+        q_m = jnp.take_along_axis(
+            q, m[:, None, None], axis=1)[:, 0]
+        q_m = jnp.where((m == W - 1)[:, None], 0.0, q_m)
+        resid = jnp.maximum(p_m - q_m, 0.0)
+        z = jnp.sum(resid, axis=-1, keepdims=True)
+        resid = jnp.where(z > 0, resid / z, p_m)
+        key, sub = jax.random.split(key)
+        g_m = jax.random.categorical(
+            sub, jnp.log(resid), axis=-1).astype(jnp.int32)[:, None]
+    else:
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B, W]
+        if W > 1:
+            match = (g[:, :-1] == seq[:, 1:]).astype(jnp.int32)
+            m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # 0..W-1
+        else:
+            m = jnp.zeros((B,), jnp.int32)
+        g_m = jnp.take_along_axis(g, m[:, None], axis=1)     # [B, 1]
+    drafts = jnp.concatenate(
+        [seq[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
+    emitted = jnp.where(ar < m[:, None], drafts,
+                        jnp.where(ar == m[:, None], g_m, pad_id))
+
+    # ---- O(1) rollback: keep keys only for the accepted prefix ------------
+    # The draft caches carry the scan's KV writes — unflatten the POST-scan
+    # d_flat (an earlier version re-flattened the stale pre-scan list,
+    # silently zeroing every drafted token's KV).
+    adv = jnp.where(active, m + 1, 0)
+    t_caches = [dataclasses.replace(c, lengths=t_len + adv)
+                for c in t_caches]
+    d_caches = jax.tree_util.tree_unflatten(d_tree, d_flat)
+    d_caches = [dataclasses.replace(c, lengths=l0 + adv)
+                for c, l0 in zip(d_caches, d_len0)]
+    return emitted, m, g_m[:, 0], t_caches, d_caches
+
+
 def speculative_generate(
     model,
     params,
@@ -122,85 +236,17 @@ def speculative_generate(
          rounds, drafted, accepted) = state
         t_caches = jax.tree_util.tree_unflatten(t_tree, t_flat)
         d_caches = jax.tree_util.tree_unflatten(d_tree, d_flat)
-        t_len = t_caches[0].lengths                          # [B] == C
-        d_len0 = [c.lengths for c in d_caches]
+        # rows already done or out of budget neither emit nor advance
+        active = jnp.logical_and(~done, out_n < max_new)
 
-        # ---- draft W single-token steps (last one only for its KV write) --
-        def dstep(carry, _):
-            x, d_flat, key = carry
-            dc = jax.tree_util.tree_unflatten(d_tree, d_flat)
-            pos = dc[0].lengths[:, None]
-            logits, dc = draft_model(draft_params, x[:, None],
-                                     kv_caches=dc, positions=pos)
-            if stochastic:
-                al = adjusted_logits(logits[:, 0], sampling)
-                key, sub = jax.random.split(key)
-                nxt = jax.random.categorical(sub, al, -1).astype(jnp.int32)
-                qprobs = jax.nn.softmax(al, axis=-1)
-            else:
-                nxt = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-                qprobs = jnp.zeros((B, logits.shape[-1]), jnp.float32)
-            d_flat, _ = jax.tree_util.tree_flatten(dc)
-            return (nxt, d_flat, key), (x, qprobs)
-
-        key, dkey = jax.random.split(key)
-        (_, d_flat, _), (fed, q) = jax.lax.scan(
-            dstep, (pending, d_flat, dkey), length=W)
-        seq = jnp.swapaxes(fed, 0, 1)                        # [B, W]: pending,
-        # d_1..d_{W-1} — exactly the tokens fed to the draft, in order.
-        q = jnp.swapaxes(q, 0, 1)                            # [B, W, V]:
-        # q[:, t] is the draft's sampling distribution for slot t+1.
-
-        # ---- one verification forward over all W tokens -------------------
-        positions = t_len[:, None] + ar                      # [B, W]
-        logits, t_caches = model(params, seq, kv_caches=t_caches,
-                                 positions=positions)
-
-        # ---- longest accepted draft prefix + correction/bonus -------------
-        if stochastic:
-            p = jax.nn.softmax(adjusted_logits(logits, sampling), axis=-1)
-            if W > 1:
-                # accept d_{t+1} iff u*q(d) < p(d)  (== u < min(1, p/q))
-                d_next = seq[:, 1:, None]
-                p_d = jnp.take_along_axis(p[:, :-1], d_next, -1)[..., 0]
-                q_d = jnp.take_along_axis(q[:, :-1], d_next, -1)[..., 0]
-                key, sub = jax.random.split(key)
-                u = jax.random.uniform(sub, (B, W - 1))
-                match = (u * q_d < p_d).astype(jnp.int32)
-                m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)
-            else:
-                m = jnp.zeros((B,), jnp.int32)
-            # replacement (rejection residual) or bonus (all accepted):
-            # q at the bonus slot is zero, making the residual p itself.
-            p_m = jnp.take_along_axis(
-                p, m[:, None, None], axis=1)[:, 0]           # [B, V]
-            q_m = jnp.take_along_axis(
-                q, m[:, None, None], axis=1)[:, 0]
-            q_m = jnp.where((m == W - 1)[:, None], 0.0, q_m)
-            resid = jnp.maximum(p_m - q_m, 0.0)
-            z = jnp.sum(resid, axis=-1, keepdims=True)
-            resid = jnp.where(z > 0, resid / z, p_m)
-            key, sub = jax.random.split(key)
-            g_m = jax.random.categorical(
-                sub, jnp.log(resid), axis=-1).astype(jnp.int32)[:, None]
-        else:
-            g = jnp.argmax(logits, axis=-1).astype(jnp.int32)    # [B, W]
-            if W > 1:
-                match = (g[:, :-1] == seq[:, 1:]).astype(jnp.int32)
-                m = jnp.sum(jnp.cumprod(match, axis=1), axis=1)  # 0..W-1
-            else:
-                m = jnp.zeros((B,), jnp.int32)
-            g_m = jnp.take_along_axis(g, m[:, None], axis=1)     # [B, 1]
-        drafts = jnp.concatenate(
-            [seq[:, 1:], jnp.zeros((B, 1), jnp.int32)], axis=1)
-        emitted = jnp.where(ar < m[:, None], drafts,
-                            jnp.where(ar == m[:, None], g_m, pad_id))
+        key, sub = jax.random.split(key)
+        emitted, m, g_m, t_caches, d_caches = speculative_round(
+            model, params, draft_model, draft_params, sampling,
+            t_caches, d_caches, pending, active, sub, W, pad_id)
 
         # ---- eos truncation, per-sequence output scatter ------------------
         is_eos = (emitted == eos)
         eos_before = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos
-        # rows already done or out of budget neither emit nor advance
-        active = jnp.logical_and(~done, out_n < max_new)
         keep = ((ar <= m[:, None]) & (eos_before == 0)
                 & active[:, None] & (out_n[:, None] + ar < max_new))
         cols = jnp.where(keep, out_n[:, None] + ar, max_new)  # OOB -> drop
@@ -210,19 +256,9 @@ def speculative_generate(
         out_n = out_n + n_emit
         new_done = jnp.logical_or(done, jnp.any(keep & is_eos, axis=1))
 
-        # ---- O(1) rollback: keep keys only for the accepted prefix --------
-        # The draft caches carry the scan's KV writes — unflatten the
-        # POST-scan d_flat (an earlier version re-flattened the stale
-        # pre-scan list, silently zeroing every drafted token's KV).
-        adv = jnp.where(active, m + 1, 0)
-        t_caches = [dataclasses.replace(c, lengths=t_len + adv)
-                    for c in t_caches]
-        d_caches = jax.tree_util.tree_unflatten(d_tree, d_flat)
-        d_caches = [dataclasses.replace(c, lengths=l0 + adv)
-                    for c, l0 in zip(d_caches, d_len0)]
         t_flat, _ = jax.tree_util.tree_flatten(t_caches)
         d_flat, _ = jax.tree_util.tree_flatten(d_caches)
-        pending = jnp.where(new_done, pad_id, g_m[:, 0])
+        pending = jnp.where(new_done, pad_id, g_m)
         rounds = rounds + 1
         drafted = drafted + jnp.where(active, W - 1, 0)
         accepted = accepted + jnp.where(active, m, 0)
