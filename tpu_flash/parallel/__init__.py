@@ -24,3 +24,8 @@ from tpu_flash.parallel.train import (  # noqa: F401
     make_sharded_train_step,
     put_batch,
 )
+from tpu_flash.parallel.zero import (  # noqa: F401
+    init_zero1,
+    make_zero1_train_step,
+    zero1_specs,
+)
