@@ -32,7 +32,7 @@ from tpu_flash.inference import (SamplingConfig, beam_generate,
                                  generate)
 
 
-def make_loss_fn(model):
+def make_loss_fn(model, chunked_vocab: int = 0):
     def loss_fn(params, batch, key=None, training=False):
         """Masked MLE, averaged over all positions — the reference's exact
         semantics (loss * weights then mean over every position,
@@ -40,12 +40,23 @@ def make_loss_fn(model):
         ``loss_norm`` divisor of examples_per_step * L so the loss scale
         (and gradient magnitude) matches the equivalent unpacked batch —
         dividing by the smaller packed row count would inflate both by the
-        compression ratio and make runs incomparable."""
-        logits = model(params, batch["input_ids"],
-                       segment_ids=batch.get("segment_ids"),
-                       positions=batch.get("positions"),
-                       key=key, training=training)
-        losses = nn.functional.softmax_loss(logits, batch["labels"])
+        compression ratio and make runs incomparable.
+
+        ``chunked_vocab`` > 0 fuses lm_head + cross-entropy over that many
+        vocab chunks (functional.chunked_softmax_loss): the [B, L, V]
+        logits tensor is never materialized."""
+        out = model(params, batch["input_ids"],
+                    segment_ids=batch.get("segment_ids"),
+                    positions=batch.get("positions"),
+                    key=key, training=training,
+                    return_hidden=chunked_vocab > 0)
+        if chunked_vocab > 0:
+            lm = params["lm_head"]
+            losses = nn.functional.chunked_softmax_loss(
+                out, lm["weight"], lm.get("bias"), batch["labels"],
+                n_chunks=chunked_vocab)
+        else:
+            losses = nn.functional.softmax_loss(out, batch["labels"])
         weighted = losses * batch["label_token_weights"]
         if "loss_norm" in batch:
             return jnp.sum(weighted) / batch["loss_norm"]
@@ -53,8 +64,8 @@ def make_loss_fn(model):
     return loss_fn
 
 
-def make_train_step(model, opt):
-    loss_fn = make_loss_fn(model)
+def make_train_step(model, opt, chunked_vocab: int = 0):
+    loss_fn = make_loss_fn(model, chunked_vocab=chunked_vocab)
 
     @jax.jit
     def train_step(params, opt_state, batch, key):
@@ -68,14 +79,15 @@ def make_train_step(model, opt):
 
 def train_epoch(model, opt, params, opt_state, examples, collate_fn,
                 batch_size, key, *, n_samples=None, max_iters=None,
-                log_every=10, native_loader=None, metrics=None):
+                log_every=10, native_loader=None, metrics=None,
+                chunked_vocab: int = 0):
     """One training epoch with fwd+bwd+opt fused in a single jitted step;
     reports tokens/sec like the reference's tqdm postfix.
 
     When ``native_loader`` is given (data/native_loader.NativeBatchLoader),
     batches come from the C++ worker-pool ring buffer — host packing fully
     overlaps device steps."""
-    train_step = make_train_step(model, opt)
+    train_step = make_train_step(model, opt, chunked_vocab=chunked_vocab)
     rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
     order = rng.permutation(len(examples))
     if n_samples:
@@ -222,6 +234,9 @@ def main(argv=None):
                         "(BASELINE config 4: MT with FP8 KV)")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ background packing loader")
+    p.add_argument("--chunked-loss", type=int, default=0, metavar="N",
+                   help="fuse lm_head+cross-entropy over N vocab chunks "
+                        "(no [B,L,V] logits tensor); 0 = off")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save a checkpoint every N epochs (0 disables)")
     p.add_argument("--resume", action="store_true",
@@ -343,7 +358,7 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
             model, opt, params, opt_state, dataset["train"], train_collate_fn,
             batch_size, ekey, n_samples=args.samples_per_epoch,
             max_iters=args.max_iters_per_epoch, native_loader=native_loader,
-            metrics=metrics)
+            metrics=metrics, chunked_vocab=args.chunked_loss)
         epoch_time = time.perf_counter() - t0
         val_loss = evaluate_loss(model, params, dataset["validation"],
                                  collate_fn, batch_size)

@@ -14,10 +14,12 @@ it is idiosyncratic:
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def softmax(x: jax.Array, axis: int = -1) -> jax.Array:
@@ -75,6 +77,189 @@ def softmax_loss(logits: jax.Array, target_ids: jax.Array) -> jax.Array:
     picked = jnp.take_along_axis(
         logits, target_ids[..., None].astype(jnp.int32), axis=-1)[..., 0]
     return lse - picked
+
+
+def chunked_softmax_loss(hidden: jax.Array, weight: jax.Array,
+                         bias: jax.Array | None, labels: jax.Array,
+                         *, n_chunks: int = 8,
+                         axis_name: str | None = None,
+                         batch_axis: str | None = None) -> jax.Array:
+    """Fused lm_head + cross-entropy without materializing [B, L, V] logits.
+
+    Numerically equal (fp32) to ``softmax_loss(hidden @ weight + bias,
+    labels)`` — the reference's loss (minitorch/nn.py:256-274) applied to
+    the lm_head output — but the [N, V] logits tensor never exists: the
+    vocab axis is processed in ``n_chunks`` slices with an online
+    logsumexp (the flash-attention trick applied to the loss), and the
+    backward recomputes each chunk's logits from the same slices.  Peak
+    memory drops from O(N·V) to O(N·V/n_chunks) — at production vocab
+    sizes (100k+) the logits tensor dwarfs every activation, and XLA
+    cannot fuse away a tensor that custom_vjp residuals or the loss's
+    consumer keep alive.
+
+    ``hidden`` [B, L, E] (or [N, E]), ``weight`` [E, V] (Linear's layout),
+    ``bias`` [V] or None, ``labels`` int [B, L] (or [N]).  Returns
+    per-token losses shaped like ``labels``.
+
+    ``axis_name`` (inside a ``shard_map`` region) enables the Megatron-style
+    vocab-parallel form: ``weight``/``bias`` are this shard's vocab slice
+    (global columns ``[axis_index * V_local, ...)``, V_local divisible by
+    ``n_chunks`` — callers pre-pad, see parallel/vocab_loss.py), ``labels``
+    are global ids, and the per-shard online (max, sumexp, picked) triple is
+    merged across the axis with one pmax + two psums — the full-vocab logits
+    row never exists on ANY shard.
+
+    ``batch_axis`` names the mesh axis the TOKENS are sharded over (data
+    parallelism inside the same shard_map): the weight/bias are replicated
+    over it, so their gradients must be psummed across it in the backward.
+
+    The ``axis_name``/``batch_axis`` form is only correct when the whole
+    ``jax.grad`` runs INSIDE the shard_map body (manual-SPMD training
+    loops).  Differentiating THROUGH a ``check_vma=False`` shard_map whose
+    body calls this would compose these manual psums with shard_map's
+    transpose machinery (cotangent division by unmentioned out-spec axes +
+    defensive psum over unmentioned in-spec axes — shard_map.py
+    ``_shard_map_transpose``), double-counting in mesh-dependent ways.  For
+    that pattern use ``parallel.vocab_parallel_softmax_loss``, whose
+    custom_vjp sits OUTSIDE the shard_map.
+    """
+    V = weight.shape[1]
+    lead = labels.shape
+    x = hidden.reshape(-1, hidden.shape[-1])
+    y = labels.reshape(-1).astype(jnp.int32)
+    if axis_name is None:
+        C = -(-V // n_chunks)                 # ceil; pad the last chunk
+        pad = n_chunks * C - V
+        w = jnp.pad(weight, ((0, 0), (0, pad)))
+        b = jnp.zeros((V,), jnp.float32) if bias is None else (
+            bias.astype(jnp.float32))
+        # padded columns get -inf bias -> exp() exactly 0 under the online
+        # lse
+        b = jnp.pad(b, (0, pad), constant_values=-jnp.inf)
+        base = jnp.int32(0)
+    else:
+        if V % n_chunks:
+            raise ValueError(
+                f"vocab-parallel local vocab {V} must divide n_chunks="
+                f"{n_chunks}; pad the global vocab before shard_map "
+                f"(parallel/vocab_loss.py does)")
+        C = V // n_chunks
+        w = weight
+        b = (jnp.zeros((V,), jnp.float32) if bias is None
+             else bias.astype(jnp.float32))
+        base = (jax.lax.axis_index(axis_name) * V).astype(jnp.int32)
+    out = _chunked_softmax_loss(
+        axis_name, batch_axis, x,
+        w.reshape(w.shape[0], n_chunks, C).transpose(1, 0, 2),
+        b.reshape(n_chunks, C), y, base)
+    return out.reshape(lead)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _chunked_softmax_loss(axis_name, batch_axis, x, w_chunks, b_chunks, y,
+                          base):
+    loss, _ = _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base)
+    return loss
+
+
+def _chunk_logits(x, wc, bc):
+    """One vocab slice's logits in fp32 (MXU dot with fp32 accumulation)."""
+    return jnp.dot(x, wc, preferred_element_type=jnp.float32) + bc
+
+
+def _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base):
+    n_chunks, _, C = w_chunks.shape
+    N = x.shape[0]
+    starts = base + jnp.arange(n_chunks, dtype=jnp.int32) * C
+
+    def body(carry, inp):
+        m, s, picked = carry
+        wc, bc, c0 = inp
+        logits = _chunk_logits(x, wc, bc)                       # [N, C]
+        new_m = jnp.maximum(m, jnp.max(logits, axis=-1))
+        # A shard whose columns are ALL padding (vocab-parallel, global pad
+        # shorter than one shard) keeps new_m = -inf; exp(m - new_m) would
+        # be exp(-inf - -inf) = nan.  Shift by a finite 0 instead — the
+        # all-(-inf) logits still contribute exactly 0 to s.
+        shift = jnp.where(jnp.isneginf(new_m), 0.0, new_m)
+        s = s * jnp.exp(m - shift) + jnp.sum(
+            jnp.exp(logits - shift[:, None]), axis=-1)
+        rel = y - c0
+        inside = (rel >= 0) & (rel < C)
+        pc = jnp.take_along_axis(
+            logits, jnp.clip(rel, 0, C - 1)[:, None], axis=-1)[:, 0]
+        picked = jnp.where(inside, pc, picked)
+        return (new_m, s, picked), None
+
+    init = (jnp.full((N,), -jnp.inf, jnp.float32),
+            jnp.zeros((N,), jnp.float32),
+            jnp.zeros((N,), jnp.float32))
+    (m, s, picked), _ = jax.lax.scan(
+        body, init, (w_chunks, b_chunks, starts))
+    if axis_name is not None:
+        # Merge the per-shard online triples: global max, rescaled sumexp,
+        # and the picked logit (exactly one shard saw the label -> sum).
+        m_all = jax.lax.pmax(m, axis_name)
+        shift = jnp.where(jnp.isneginf(m), 0.0, m_all)
+        s = jax.lax.psum(s * jnp.exp(m - shift), axis_name)
+        picked = jax.lax.psum(picked, axis_name)
+        m = m_all
+    lse = m + jnp.log(s)
+    return lse - picked, lse
+
+
+def _chunked_vjp_fwd(axis_name, batch_axis, x, w_chunks, b_chunks, y, base):
+    loss, lse = _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base)
+    return loss, (x, w_chunks, b_chunks, y, base, lse)
+
+
+def _chunked_bwd_scan(x, w_chunks, b_chunks, y, base, lse, gf):
+    """Shard-local backward of the chunked loss: recompute each vocab
+    slice's logits from the residual-free inputs and accumulate (dx, dw,
+    db) with NO collectives — callers add the psums their sharding needs
+    (parallel/vocab_loss.py sums dx over the model axis and dw/db over the
+    data axis inside its own backward shard_map)."""
+    n_chunks, _, C = w_chunks.shape
+    starts = base + jnp.arange(n_chunks, dtype=jnp.int32) * C
+
+    def body(dx, inp):
+        wc, bc, c0 = inp
+        logits = _chunk_logits(x, wc, bc)
+        p = jnp.exp(logits - lse[:, None])                      # softmax
+        rel = y - c0
+        inside = (rel >= 0) & (rel < C)
+        onehot = (jnp.arange(C, dtype=jnp.int32)[None, :]
+                  == jnp.clip(rel, 0, C - 1)[:, None]) & inside[:, None]
+        dlogits = (p - onehot.astype(p.dtype)) * gf[:, None]
+        dx = dx + jnp.dot(dlogits, wc.T,
+                          preferred_element_type=jnp.float32)
+        dwc = jnp.dot(x.T, dlogits.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        return dx, (dwc.astype(wc.dtype), jnp.sum(dlogits, axis=0))
+
+    return jax.lax.scan(body, jnp.zeros(x.shape, jnp.float32),
+                        (w_chunks, b_chunks, starts))
+
+
+def _chunked_vjp_bwd(axis_name, batch_axis, res, g):
+    x, w_chunks, b_chunks, y, base, lse = res
+    dx, (dw, db) = _chunked_bwd_scan(x, w_chunks, b_chunks, y, base, lse,
+                                     g.astype(jnp.float32))
+    if axis_name is not None:
+        # dx sums each shard's dlogits @ w_local.T partial (dw/db stay
+        # shard-local, matching the vocab-sharded weight layout).
+        dx = jax.lax.psum(dx, axis_name)
+    if batch_axis is not None:
+        # weight/bias are replicated over the token (data) axis; their
+        # cotangents sum each data-shard's contribution.
+        dw = jax.lax.psum(dw, batch_axis)
+        db = jax.lax.psum(db, batch_axis)
+    return (dx.astype(x.dtype), dw, db,
+            np.zeros(y.shape, jax.dtypes.float0),
+            np.zeros((), jax.dtypes.float0))
+
+
+_chunked_softmax_loss.defvjp(_chunked_vjp_fwd, _chunked_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------

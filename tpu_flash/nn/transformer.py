@@ -382,8 +382,14 @@ class DecoderLM(Module):
     def __call__(self, params: Params, idx: jax.Array, *,
                  kv_caches=None, kv_mask=None, positions=None,
                  segment_ids=None, key=None, training: bool = False,
-                 return_aux: bool = False):
+                 return_aux: bool = False, return_hidden: bool = False):
         """idx [B, L] int32 -> logits [B, L, n_vocab].
+
+        ``return_hidden=True`` returns the post-LN hidden states [B, L,
+        n_embd] INSTEAD of logits (the lm_head matmul is skipped) — pair
+        with ``functional.chunked_softmax_loss(hidden,
+        params['lm_head']['weight'], ...)`` to train without ever
+        materializing the [B, L, n_vocab] logits tensor.
 
         ``positions`` overrides the default arange positions (needed for
         incremental decode, and for packed batches where each example's
@@ -449,7 +455,7 @@ class DecoderLM(Module):
                     x = out
 
         x = self.ln(params["ln"], x)
-        logits = self.lm_head(params["lm_head"], x)
+        logits = x if return_hidden else self.lm_head(params["lm_head"], x)
         result = (logits,)
         if kv_caches is not None:
             result = result + (new_caches,)

@@ -24,6 +24,9 @@ from tpu_flash.parallel.train import (  # noqa: F401
     make_sharded_train_step,
     put_batch,
 )
+from tpu_flash.parallel.vocab_loss import (  # noqa: F401
+    vocab_parallel_softmax_loss,
+)
 from tpu_flash.parallel.zero import (  # noqa: F401
     init_zero1,
     make_zero1_train_step,
