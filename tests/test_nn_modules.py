@@ -231,3 +231,83 @@ def test_skip_nonfinite_updates():
     p3, state = jax.jit(tx.update)(good, state, p2)
     assert int(state.skipped) == 1
     assert int(state.inner.step) == 2  # two applied steps, one skipped
+
+
+def test_mixed_precision_matches_fp32_trajectory():
+    """mixed_precision(adam) on bf16 params must follow the fp32 Adam
+    trajectory exactly when fed grads that are exact in bf16: the fp32
+    masters ARE the fp32 run, and the bf16 params are their per-step cast."""
+    from tpu_flash.nn import optim
+
+    rng = np.random.default_rng(0)
+    w0 = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    p32 = {"w": w0}
+    p16 = {"w": w0.astype(jnp.bfloat16)}
+    # bf16 init loses mantissa bits; run the fp32 oracle from the SAME
+    # (bf16-representable) starting point
+    p32 = {"w": p16["w"].astype(jnp.float32)}
+
+    tx32 = optim.adam(0.01)
+    tx16 = optim.mixed_precision(optim.adam(0.01))
+    s32, s16 = tx32.init(p32), tx16.init(p16)
+    up32, up16 = jax.jit(tx32.update), jax.jit(tx16.update)
+    for i in range(10):
+        g16 = jnp.asarray(rng.standard_normal((16, 8))).astype(jnp.bfloat16)
+        p32, s32 = up32({"w": g16.astype(jnp.float32)}, s32, p32)
+        p16, s16 = up16({"w": g16}, s16, p16)
+        assert p16["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(s16.master["w"]),
+                                  np.asarray(p32["w"]))
+    np.testing.assert_array_equal(np.asarray(p16["w"]),
+                                  np.asarray(p32["w"].astype(jnp.bfloat16)))
+
+
+def test_mixed_precision_accumulates_sub_ulp_updates():
+    """The failure mode the wrapper exists for: near 1.0, one bf16 ulp is
+    2^-8, so a pure-bf16 optimizer rounds every ~1e-4 Adam step to zero and
+    the weight never moves; fp32 masters accumulate them."""
+    from tpu_flash.nn import optim
+
+    params = {"w": jnp.ones((4,), jnp.bfloat16)}
+    g = {"w": jnp.ones((4,), jnp.bfloat16)}
+
+    naive = optim.adam(1e-4)
+    s = naive.init(params)
+    p_naive = params
+    up = jax.jit(naive.update)
+    for _ in range(100):
+        p_naive, s = up(g, s, p_naive)
+
+    mp = optim.mixed_precision(optim.adam(1e-4))
+    s = mp.init(params)
+    p_mp = params
+    up = jax.jit(mp.update)
+    for _ in range(100):
+        p_mp, s = up(g, s, p_mp)
+
+    # pure bf16: stuck at exactly 1.0 (and must STAY bf16 — the update
+    # once silently promoted params to fp32); mixed: ~1.0 - 100*1e-4
+    assert p_naive["w"].dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(p_naive["w"], np.float32),
+                                  np.ones(4, np.float32))
+    assert float(p_mp["w"][0]) < 0.995
+    np.testing.assert_allclose(np.asarray(s.master["w"]),
+                               np.full(4, 1.0 - 100e-4), rtol=1e-3)
+
+
+def test_mixed_precision_composes_with_skip_nonfinite():
+    from tpu_flash.nn import optim
+
+    tx = optim.skip_nonfinite(optim.mixed_precision(optim.adam(0.1)))
+    params = {"w": jnp.ones((3,), jnp.bfloat16)}
+    state = tx.init(params)
+    good = {"w": jnp.full((3,), 0.5, jnp.bfloat16)}
+    p1, state = jax.jit(tx.update)(good, state, params)
+    assert p1["w"].dtype == jnp.bfloat16
+    assert float(jnp.max(jnp.abs(p1["w"].astype(jnp.float32) - 1.0))) > 0
+    bad = {"w": jnp.asarray([0.1, np.nan, 0.2], jnp.bfloat16)}
+    p2, state = jax.jit(tx.update)(bad, state, p1)
+    np.testing.assert_array_equal(np.asarray(p2["w"], np.float32),
+                                  np.asarray(p1["w"], np.float32))
+    assert int(state.skipped) == 1
+    assert int(state.inner.inner.step) == 1

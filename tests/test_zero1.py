@@ -131,3 +131,44 @@ def test_zero1_composes_with_skip_nonfinite():
                                     jax.random.key(0))
     assert np.isfinite(float(loss))
     assert int(opt_state.skipped) == 0
+
+
+def test_zero1_composes_with_mixed_precision():
+    """The fp32 masters live in the optimizer state at ``master/<param
+    path>``, so the path-suffix state sharding must land them on the data
+    axis — that is the whole point of composing ZeRO-1 with mixed
+    precision (masters cost 4/data_size bytes per weight)."""
+    ctx = parallel.make_mesh(data=8, model=1)
+    cfg = nn.DecoderConfig(n_vocab=128, n_embd=64, n_head=8, n_positions=32,
+                           n_layer=2, p_dropout=0.0, attention_kind="flash",
+                           dtype=jnp.bfloat16)
+    model = nn.DecoderLM(cfg)
+    opt = nn.mixed_precision(nn.adamw(lr=1e-3))
+    params, opt_state, _, _ = parallel.init_zero1(
+        ctx, model, opt, jax.random.key(0))
+    w = params["layers"]["0"]["attention"]["q_projection"]["weight"]
+    master = opt_state.master["layers"]["0"]["attention"]["q_projection"][
+        "weight"]
+    moment = opt_state.inner.exp_avg["layers"]["0"]["attention"][
+        "q_projection"]["weight"]
+    assert w.dtype == jnp.bfloat16
+    assert master.dtype == jnp.float32 and moment.dtype == jnp.float32
+    assert master.sharding.spec == P("data", "model")
+    assert moment.sharding.spec == P("data", "model")
+    assert master.addressable_shards[0].data.size * ctx.data_size == w.size
+
+    loss_fn = loss_fn_for(model)
+    rng = np.random.default_rng(1)
+    batch = parallel.put_batch(ctx, make_batch(rng))
+    zstep = parallel.make_zero1_train_step(ctx, model, opt, loss_fn)
+    params, opt_state, loss = zstep(params, opt_state, batch,
+                                    jax.random.key(0))
+    assert np.isfinite(float(loss))
+    w = params["layers"]["0"]["attention"]["q_projection"]["weight"]
+    assert w.dtype == jnp.bfloat16
+    m2 = opt_state.master["layers"]["0"]["attention"]["q_projection"][
+        "weight"]
+    # GSPMD may canonicalize away the size-1 model axis in the output spec;
+    # what matters is that the masters stay 1/data_size per device.
+    assert m2.sharding.spec[0] == "data"
+    assert m2.addressable_shards[0].data.size * ctx.data_size == w.size

@@ -25,6 +25,7 @@ from tpu_flash.nn.optim import (  # noqa: F401
     adamw,
     clip_by_global_norm,
     cosine_schedule,
+    mixed_precision,
     sgd,
     skip_nonfinite,
 )
