@@ -167,3 +167,49 @@ def test_sharded_train_step_with_vocab_parallel_loss(rng):
     for k in flat_ref:
         np.testing.assert_allclose(flat[k], flat_ref[k], atol=1e-4,
                                    rtol=1e-4, err_msg=k)
+
+
+def test_chunked_loss_axis_form_grad_inside_shard_map(rng):
+    """The functional-level ``chunked_softmax_loss(axis_name=, batch_axis=)``
+    form is for manual-SPMD loops where jax.grad runs INSIDE the shard_map
+    body (its docstring forbids differentiating THROUGH the shard_map).
+    Pin that pattern's value and all three grads against the dense oracle."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    ctx = parallel.make_mesh(data=2, model=4)
+    V, E = 64, 16                     # V_local=16, n_chunks=2 -> C=8
+    hidden = jnp.asarray(rng.standard_normal((4, E)), jnp.float32)
+    weight = jnp.asarray(rng.standard_normal((E, V)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((V,)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (4,)), jnp.int32)
+    w_tok = jnp.asarray(rng.random((4,)), jnp.float32)
+
+    def body(h, w, b, y, wt):
+        def local_loss(h, w, b):
+            losses = F.chunked_softmax_loss(
+                h, w, b, y, n_chunks=2, axis_name="model",
+                batch_axis="data")
+            return jnp.sum(losses * wt)
+
+        val, grads = jax.value_and_grad(local_loss, argnums=(0, 1, 2))(
+            h, w, b)
+        return (jax.lax.psum(val, "data"),) + grads
+
+    fn = jax.shard_map(
+        body, mesh=ctx.mesh,
+        in_specs=(P("data"), P(None, "model"), P("model"), P("data"),
+                  P("data")),
+        out_specs=(P(), P("data"), P(None, "model"), P("model")),
+        check_vma=False)
+    val, dh, dw, db = fn(hidden, weight, bias, labels, w_tok)
+
+    def dense(h, w, b):
+        return jnp.sum(_composed(h, w, b, labels) * w_tok)
+
+    exp_val = dense(hidden, weight, bias)
+    exp = jax.grad(dense, argnums=(0, 1, 2))(hidden, weight, bias)
+    np.testing.assert_allclose(val, exp_val, atol=1e-5, rtol=1e-5)
+    for got, e, name in zip((dh, dw, db), exp, ["dh", "dw", "db"]):
+        np.testing.assert_allclose(got, e, atol=1e-4, rtol=1e-4,
+                                   err_msg=name)

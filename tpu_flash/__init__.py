@@ -24,6 +24,19 @@ Layering (maps to SURVEY.md §7):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("TPU_FLASH_PLATFORM"):
+    # Escape hatch for CLI entry points: the ambient sitecustomize may pin
+    # JAX_PLATFORMS at a remote TPU in a way the plain env var cannot
+    # override, so honor TPU_FLASH_PLATFORM=cpu through the config API
+    # (must run before the first backend initialization; pairs with
+    # XLA_FLAGS=--xla_force_host_platform_device_count=N for virtual
+    # multi-device CPU meshes, exactly like tests/conftest.py).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["TPU_FLASH_PLATFORM"])
+
 from tpu_flash.ops import (  # noqa: F401
     flash_attention,
     attn_softmax,

@@ -32,7 +32,7 @@ from tpu_flash.inference import (SamplingConfig, beam_generate,
                                  generate)
 
 
-def make_loss_fn(model, chunked_vocab: int = 0):
+def make_loss_fn(model, chunked_vocab: int = 0, ctx=None):
     def loss_fn(params, batch, key=None, training=False):
         """Masked MLE, averaged over all positions — the reference's exact
         semantics (loss * weights then mean over every position,
@@ -43,18 +43,22 @@ def make_loss_fn(model, chunked_vocab: int = 0):
         compression ratio and make runs incomparable.
 
         ``chunked_vocab`` > 0 fuses lm_head + cross-entropy over that many
-        vocab chunks (functional.chunked_softmax_loss): the [B, L, V]
-        logits tensor is never materialized."""
+        vocab chunks: the [B, L, V] logits tensor is never materialized.
+        With an active parallel context whose model axis is sharded this
+        is the Megatron-style vocab-parallel loss (the vocab-sharded
+        lm_head never gathers); otherwise it degrades to the single-device
+        chunked form (vocab_parallel_softmax_loss handles both)."""
         out = model(params, batch["input_ids"],
                     segment_ids=batch.get("segment_ids"),
                     positions=batch.get("positions"),
                     key=key, training=training,
                     return_hidden=chunked_vocab > 0)
         if chunked_vocab > 0:
+            from tpu_flash import parallel
             lm = params["lm_head"]
-            losses = nn.functional.chunked_softmax_loss(
+            losses = parallel.vocab_parallel_softmax_loss(
                 out, lm["weight"], lm.get("bias"), batch["labels"],
-                n_chunks=chunked_vocab)
+                n_chunks=chunked_vocab, ctx=ctx)
         else:
             losses = nn.functional.softmax_loss(out, batch["labels"])
         weighted = losses * batch["label_token_weights"]
@@ -77,17 +81,44 @@ def make_train_step(model, opt, chunked_vocab: int = 0):
     return train_step
 
 
+def _place_batch(ctx, batch):
+    """Device placement policy for one host batch: with a mesh, batch rows
+    go over the data axis and scalars replicate (parallel.put_batch);
+    without one, plain device transfer."""
+    if ctx is not None:
+        from tpu_flash import parallel
+        return parallel.put_batch(ctx, batch)
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
 def train_epoch(model, opt, params, opt_state, examples, collate_fn,
                 batch_size, key, *, n_samples=None, max_iters=None,
                 log_every=10, native_loader=None, metrics=None,
-                chunked_vocab: int = 0):
+                chunked_vocab: int = 0, ctx=None, train_step=None):
     """One training epoch with fwd+bwd+opt fused in a single jitted step;
     reports tokens/sec like the reference's tqdm postfix.
 
     When ``native_loader`` is given (data/native_loader.NativeBatchLoader),
     batches come from the C++ worker-pool ring buffer — host packing fully
-    overlaps device steps."""
-    train_step = make_train_step(model, opt, chunked_vocab=chunked_vocab)
+    overlaps device steps.
+
+    ``ctx``/``train_step``: multi-chip SPMD training — ``train_step`` is a
+    prebuilt sharded step (parallel.make_sharded_train_step or the ZeRO-1
+    variant) and batches are placed onto the mesh with parallel.put_batch
+    (batch rows over the data axis, scalars replicated)."""
+    if train_step is None:
+        if ctx is not None:
+            # A mesh without a prebuilt step still needs the sharded step:
+            # the Pallas ops consult the active parallel context at trace
+            # time, and a plain jit would emit unpartitionable pallas_calls
+            # against TP-sharded params.
+            from tpu_flash import parallel
+            train_step = parallel.make_sharded_train_step(
+                ctx, model, opt,
+                make_loss_fn(model, chunked_vocab=chunked_vocab, ctx=ctx))
+        else:
+            train_step = make_train_step(model, opt,
+                                         chunked_vocab=chunked_vocab)
     rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
     order = rng.permutation(len(examples))
     if n_samples:
@@ -108,7 +139,7 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
         if "segment_ids" in batch and "loss_norm" not in batch:
             batch["loss_norm"] = np.float32(
                 batch_size * batch["input_ids"].shape[1])
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = _place_batch(ctx, batch)
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         params, opt_state, loss = train_step(params, opt_state, batch, sub)
@@ -128,12 +159,26 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
     return params, opt_state, losses, step_times, step_tokens
 
 
-def evaluate_loss(model, params, examples, collate_fn, batch_size):
-    loss_fn = jax.jit(make_loss_fn(model))
+def evaluate_loss(model, params, examples, collate_fn, batch_size,
+                  chunked_vocab: int = 0, ctx=None):
+    base_fn = make_loss_fn(model, chunked_vocab=chunked_vocab, ctx=ctx)
+    if ctx is not None:
+        # Trace under the active parallel context like the sharded train
+        # step does (parallel/train.py make_sharded_train_step): the Pallas
+        # attention ops pick their shard_map wrapping from it, so a bare
+        # trace against TP-sharded params would not partition.
+        from tpu_flash.parallel.context import parallel_context
+
+        def ctx_fn(params, batch):
+            with parallel_context(ctx):
+                return base_fn(params, batch)
+        loss_fn = jax.jit(ctx_fn)
+    else:
+        loss_fn = jax.jit(base_fn)
     losses = []
     for i in range(0, len(examples) - batch_size + 1, batch_size):
         batch = collate_fn(examples[i:i + batch_size])
-        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        batch = _place_batch(ctx, batch)
         losses.append(float(loss_fn(params, batch)))
     return float(np.mean(losses)) if losses else float("nan")
 
@@ -223,6 +268,11 @@ def main(argv=None):
                         "masking (no pad-token FLOPs)")
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--mixed-precision", action="store_true",
+                   help="fp32 master weights in the optimizer state while "
+                        "the model computes in --dtype (use with "
+                        "--dtype bfloat16: bf16 MXU speed, fp32-Adam "
+                        "trajectory)")
     p.add_argument("--workdir", default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-bleu", action="store_true")
@@ -241,10 +291,39 @@ def main(argv=None):
                    help="save a checkpoint every N epochs (0 disables)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in the workdir")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size (batch rows sharded)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size (Megatron layouts; "
+                        "composes with --chunked-loss into the "
+                        "vocab-parallel fused loss)")
+    p.add_argument("--zero1", action="store_true",
+                   help="shard Adam moments over the data axis (ZeRO-1)")
     args = p.parse_args(argv)
 
     L = args.model_max_length
     batch_size = args.batch_size or (128 * 40 + L) // L  # reference rule
+
+    ctx = None
+    if args.dp * args.tp > 1 or args.zero1:
+        from tpu_flash import parallel
+        n_dev = args.dp * args.tp
+        if n_dev > len(jax.devices()):
+            raise SystemExit(
+                f"--dp {args.dp} x --tp {args.tp} needs {n_dev} devices, "
+                f"have {len(jax.devices())}")
+        for name, val in (("n_vocab", args.n_vocab), ("n_embd", args.n_embd),
+                          ("n_head", args.n_head)):
+            if val % args.tp:
+                raise SystemExit(
+                    f"--tp {args.tp} requires --{name.replace('_', '-')} "
+                    f"divisible by tp (got {val}); Megatron layouts shard "
+                    f"these dims over the model axis")
+        ctx = parallel.make_mesh(data=args.dp, model=args.tp,
+                                 devices=jax.devices()[:n_dev])
+        if batch_size % args.dp:
+            batch_size = -(-batch_size // args.dp) * args.dp
+            print(json.dumps({"batch_size_rounded_to_dp": batch_size}))
     workdir = args.workdir or f"workdir_vocab{args.n_vocab}_len{L}"
     os.makedirs(workdir, exist_ok=True)
 
@@ -253,6 +332,14 @@ def main(argv=None):
     print(json.dumps({"data_size": {s: len(d) for s, d in dataset.items()}}))
     tokenizer = mt.get_tokenizer(
         dataset["train"], args.n_vocab, src_key, tgt_key, workdir)
+    if len(tokenizer) > args.n_vocab:
+        # Byte-level BPE can't go below its 256-byte base alphabet (+3
+        # specials): token ids would exceed the embedding/lm_head size and
+        # the loss silently NaNs on out-of-range labels.
+        raise SystemExit(
+            f"--n-vocab {args.n_vocab} is smaller than the trained "
+            f"tokenizer's vocab ({len(tokenizer)}); byte-level BPE needs "
+            f"at least 259")
 
     def collate_fn(examples):
         return mt.collate_batch(examples, src_key, tgt_key, tokenizer, L,
@@ -275,6 +362,8 @@ def main(argv=None):
                 tokenizer, L)
             need = max(need, probe["input_ids"].shape[0])
         pack_rows = need + 1
+        if ctx is not None and pack_rows % args.dp:
+            pack_rows = -(-pack_rows // args.dp) * args.dp  # data-shardable
         print(json.dumps({"pack_rows": pack_rows,
                           "examples_per_step": batch_size}))
         drop_counter: list = []
@@ -300,6 +389,8 @@ def main(argv=None):
     print(f"model parameters: {nn.num_parameters(params):,}")
 
     opt = nn.adam(lr=args.lr)
+    if args.mixed_precision:
+        opt = nn.mixed_precision(opt)
     opt_state = opt.init(params)
 
     from tpu_flash.utils import restore_checkpoint, save_checkpoint
@@ -314,6 +405,30 @@ def main(argv=None):
             print(json.dumps({"resumed_from_epoch": step}))
         except FileNotFoundError:
             print(json.dumps({"resume": "no checkpoint found, cold start"}))
+
+    if ctx is not None:
+        # Place (possibly resumed) params in the Megatron TP layout and the
+        # optimizer state alongside them — ZeRO-1 additionally shards every
+        # param-congruent state array over the data axis.  device_put against
+        # the sharding template preserves restored values exactly.
+        from tpu_flash import parallel
+        from tpu_flash.parallel.zero import state_shardings
+
+        params, specs = parallel.shard_params(ctx, model, params)
+        sspecs = (parallel.zero1_specs(ctx, params, specs) if args.zero1
+                  else specs)
+        state_sh = state_shardings(ctx, opt, params, sspecs)
+        # Restored checkpoints rebuild namedtuple nodes as fresh classes
+        # (checkpoint.py _rebuild), so the treedefs differ from the live
+        # optimizer's; zip leaves in order and unflatten with the template
+        # treedef — this also restores the real state class.
+        sh_leaves, sh_def = jax.tree.flatten(state_sh)
+        v_leaves = jax.tree.leaves(opt_state)
+        assert len(sh_leaves) == len(v_leaves), \
+            (len(sh_leaves), len(v_leaves))
+        opt_state = jax.tree.unflatten(sh_def, [
+            jax.device_put(jnp.asarray(v), sh)
+            for sh, v in zip(sh_leaves, v_leaves)])
 
     native_loader = None
     if args.native_loader:
@@ -340,7 +455,7 @@ def main(argv=None):
         _train_loop(args, model, opt, params, opt_state, dataset,
                     train_collate_fn, collate_fn,
                     batch_size, key, start_epoch, native_loader, metrics,
-                    ckpt_dir, tokenizer, src_key, tgt_key, L)
+                    ckpt_dir, tokenizer, src_key, tgt_key, L, ctx=ctx)
     finally:
         metrics.close()
 
@@ -348,8 +463,17 @@ def main(argv=None):
 def _train_loop(args, model, opt, params, opt_state, dataset,
                 train_collate_fn, collate_fn,
                 batch_size, key, start_epoch, native_loader, metrics,
-                ckpt_dir, tokenizer, src_key, tgt_key, L):
+                ckpt_dir, tokenizer, src_key, tgt_key, L, ctx=None):
     from tpu_flash.utils import save_checkpoint
+
+    train_step = None
+    if ctx is not None:
+        from tpu_flash import parallel
+        loss_fn = make_loss_fn(model, chunked_vocab=args.chunked_loss,
+                               ctx=ctx)
+        make_step = (parallel.make_zero1_train_step if args.zero1
+                     else parallel.make_sharded_train_step)
+        train_step = make_step(ctx, model, opt, loss_fn)
 
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
@@ -358,10 +482,12 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
             model, opt, params, opt_state, dataset["train"], train_collate_fn,
             batch_size, ekey, n_samples=args.samples_per_epoch,
             max_iters=args.max_iters_per_epoch, native_loader=native_loader,
-            metrics=metrics, chunked_vocab=args.chunked_loss)
+            metrics=metrics, chunked_vocab=args.chunked_loss,
+            ctx=ctx, train_step=train_step)
         epoch_time = time.perf_counter() - t0
         val_loss = evaluate_loss(model, params, dataset["validation"],
-                                 collate_fn, batch_size)
+                                 collate_fn, batch_size,
+                                 chunked_vocab=args.chunked_loss, ctx=ctx)
         mean_step = float(np.mean(step_times)) if step_times else float("nan")
         epoch_rec = {
             "epoch": epoch,

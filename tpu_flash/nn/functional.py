@@ -127,39 +127,45 @@ def chunked_softmax_loss(hidden: jax.Array, weight: jax.Array,
     lead = labels.shape
     x = hidden.reshape(-1, hidden.shape[-1])
     y = labels.reshape(-1).astype(jnp.int32)
+    n_chunks = max(int(n_chunks), 1)
     if axis_name is None:
         C = -(-V // n_chunks)                 # ceil; pad the last chunk
         pad = n_chunks * C - V
-        w = jnp.pad(weight, ((0, 0), (0, pad)))
+        w = jnp.pad(weight, ((0, 0), (0, pad))) if pad else weight
         b = jnp.zeros((V,), jnp.float32) if bias is None else (
             bias.astype(jnp.float32))
-        # padded columns get -inf bias -> exp() exactly 0 under the online
-        # lse
-        b = jnp.pad(b, (0, pad), constant_values=-jnp.inf)
+        if pad:
+            # padded columns get -inf bias -> exp() exactly 0 under the
+            # online lse
+            b = jnp.pad(b, (0, pad), constant_values=-jnp.inf)
         base = jnp.int32(0)
     else:
         if V % n_chunks:
             raise ValueError(
-                f"vocab-parallel local vocab {V} must divide n_chunks="
-                f"{n_chunks}; pad the global vocab before shard_map "
+                f"n_chunks={n_chunks} must divide this shard's local vocab "
+                f"{V}; pad the global vocab before shard_map "
                 f"(parallel/vocab_loss.py does)")
-        C = V // n_chunks
         w = weight
         b = (jnp.zeros((V,), jnp.float32) if bias is None
              else bias.astype(jnp.float32))
         base = (jax.lax.axis_index(axis_name) * V).astype(jnp.int32)
-    out = _chunked_softmax_loss(
-        axis_name, batch_axis, x,
-        w.reshape(w.shape[0], n_chunks, C).transpose(1, 0, 2),
-        b.reshape(n_chunks, C), y, base)
+    out = _chunked_softmax_loss(axis_name, batch_axis, n_chunks, x, w, b, y,
+                                base)
     return out.reshape(lead)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _chunked_softmax_loss(axis_name, batch_axis, x, w_chunks, b_chunks, y,
-                          base):
-    loss, _ = _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _chunked_softmax_loss(axis_name, batch_axis, n_chunks, x, w, b, y, base):
+    loss, _ = _chunked_fwd(axis_name, n_chunks, x, w, b, y, base)
     return loss
+
+
+def _chunk_slice(w, b, i, C):
+    """Vocab slice i of the weight/bias IN PLACE — dynamic_slice keeps the
+    original [E, V] layout (no [n_chunks, E, C] relayout copy of a tensor
+    that is the model's single largest parameter)."""
+    return (jax.lax.dynamic_slice_in_dim(w, i * C, C, axis=1),
+            jax.lax.dynamic_slice_in_dim(b, i * C, C, axis=0))
 
 
 def _chunk_logits(x, wc, bc):
@@ -167,14 +173,14 @@ def _chunk_logits(x, wc, bc):
     return jnp.dot(x, wc, preferred_element_type=jnp.float32) + bc
 
 
-def _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base):
-    n_chunks, _, C = w_chunks.shape
+def _chunked_fwd(axis_name, n_chunks, x, w, b, y, base):
+    C = w.shape[1] // n_chunks
     N = x.shape[0]
-    starts = base + jnp.arange(n_chunks, dtype=jnp.int32) * C
 
-    def body(carry, inp):
+    def body(carry, i):
         m, s, picked = carry
-        wc, bc, c0 = inp
+        wc, bc = _chunk_slice(w, b, i, C)
+        c0 = base + i * C
         logits = _chunk_logits(x, wc, bc)                       # [N, C]
         new_m = jnp.maximum(m, jnp.max(logits, axis=-1))
         # A shard whose columns are ALL padding (vocab-parallel, global pad
@@ -195,7 +201,7 @@ def _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base):
             jnp.zeros((N,), jnp.float32),
             jnp.zeros((N,), jnp.float32))
     (m, s, picked), _ = jax.lax.scan(
-        body, init, (w_chunks, b_chunks, starts))
+        body, init, jnp.arange(n_chunks, dtype=jnp.int32))
     if axis_name is not None:
         # Merge the per-shard online triples: global max, rescaled sumexp,
         # and the picked logit (exactly one shard saw the label -> sum).
@@ -208,22 +214,26 @@ def _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base):
     return lse - picked, lse
 
 
-def _chunked_vjp_fwd(axis_name, batch_axis, x, w_chunks, b_chunks, y, base):
-    loss, lse = _chunked_fwd(axis_name, x, w_chunks, b_chunks, y, base)
-    return loss, (x, w_chunks, b_chunks, y, base, lse)
+def _chunked_vjp_fwd(axis_name, batch_axis, n_chunks, x, w, b, y, base):
+    loss, lse = _chunked_fwd(axis_name, n_chunks, x, w, b, y, base)
+    return loss, (x, w, b, y, base, lse)
 
 
-def _chunked_bwd_scan(x, w_chunks, b_chunks, y, base, lse, gf):
+def _chunked_bwd_scan(n_chunks, x, w, b, y, base, lse, gf):
     """Shard-local backward of the chunked loss: recompute each vocab
     slice's logits from the residual-free inputs and accumulate (dx, dw,
     db) with NO collectives — callers add the psums their sharding needs
     (parallel/vocab_loss.py sums dx over the model axis and dw/db over the
-    data axis inside its own backward shard_map)."""
-    n_chunks, _, C = w_chunks.shape
-    starts = base + jnp.arange(n_chunks, dtype=jnp.int32) * C
+    data axis inside its own backward shard_map).  Each chunk writes a
+    DISJOINT column slice of dw/db (dynamic_update_slice, no accumulation),
+    so the dw carry can live in the weight's own dtype with no precision
+    loss — each slice is computed once in fp32 and cast once."""
+    C = w.shape[1] // n_chunks
 
-    def body(dx, inp):
-        wc, bc, c0 = inp
+    def body(carry, i):
+        dx, dw, db = carry
+        wc, bc = _chunk_slice(w, b, i, C)
+        c0 = base + i * C
         logits = _chunk_logits(x, wc, bc)
         p = jnp.exp(logits - lse[:, None])                      # softmax
         rel = y - c0
@@ -235,16 +245,24 @@ def _chunked_bwd_scan(x, w_chunks, b_chunks, y, base, lse, gf):
                           preferred_element_type=jnp.float32)
         dwc = jnp.dot(x.T, dlogits.astype(x.dtype),
                       preferred_element_type=jnp.float32)
-        return dx, (dwc.astype(wc.dtype), jnp.sum(dlogits, axis=0))
+        dw = jax.lax.dynamic_update_slice_in_dim(
+            dw, dwc.astype(dw.dtype), i * C, axis=1)
+        db = jax.lax.dynamic_update_slice_in_dim(
+            db, jnp.sum(dlogits, axis=0), i * C, axis=0)
+        return (dx, dw, db), None
 
-    return jax.lax.scan(body, jnp.zeros(x.shape, jnp.float32),
-                        (w_chunks, b_chunks, starts))
+    init = (jnp.zeros(x.shape, jnp.float32),
+            jnp.zeros(w.shape, w.dtype),
+            jnp.zeros((w.shape[1],), jnp.float32))
+    (dx, dw, db), _ = jax.lax.scan(body, init,
+                                   jnp.arange(n_chunks, dtype=jnp.int32))
+    return dx, dw, db
 
 
-def _chunked_vjp_bwd(axis_name, batch_axis, res, g):
-    x, w_chunks, b_chunks, y, base, lse = res
-    dx, (dw, db) = _chunked_bwd_scan(x, w_chunks, b_chunks, y, base, lse,
-                                     g.astype(jnp.float32))
+def _chunked_vjp_bwd(axis_name, batch_axis, n_chunks, res, g):
+    x, w, b, y, base, lse = res
+    dx, dw, db = _chunked_bwd_scan(n_chunks, x, w, b, y, base, lse,
+                                   g.astype(jnp.float32))
     if axis_name is not None:
         # dx sums each shard's dlogits @ w_local.T partial (dw/db stay
         # shard-local, matching the vocab-sharded weight layout).

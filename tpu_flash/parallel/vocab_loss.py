@@ -52,11 +52,12 @@ def vocab_parallel_softmax_loss(hidden: jax.Array, weight: jax.Array,
     chunked loss, so callers can use it unconditionally.
     """
     ctx = ctx or current_context()
+    n_chunks = max(int(n_chunks), 1)
     B = labels.shape[0]
     if (ctx is None or ctx.model_size == 1
             or B % ctx.data_size != 0):
         return F.chunked_softmax_loss(hidden, weight, bias, labels,
-                                      n_chunks=max(n_chunks, 1))
+                                      n_chunks=n_chunks)
 
     tp = ctx.model_size
     V = weight.shape[1]
@@ -74,15 +75,10 @@ def vocab_parallel_softmax_loss(hidden: jax.Array, weight: jax.Array,
     return _vp_loss(static, hidden, w, b, labels)
 
 
-def _local_chunks(w_local, b_local, y, n_chunks, model_axis):
-    """Reshape this shard's vocab slice into scan-able chunks + base id."""
-    V_local = w_local.shape[1]
-    C = V_local // n_chunks
-    w_chunks = w_local.reshape(w_local.shape[0], n_chunks, C).transpose(
-        1, 0, 2)
-    b_chunks = b_local.reshape(n_chunks, C)
-    base = (jax.lax.axis_index(model_axis) * V_local).astype(jnp.int32)
-    return w_chunks, b_chunks, base
+def _shard_base(w_local, model_axis):
+    """This shard's first global vocab column id."""
+    return (jax.lax.axis_index(model_axis)
+            * w_local.shape[1]).astype(jnp.int32)
 
 
 def _fwd_shard_map(static, x, w, b, y):
@@ -94,10 +90,8 @@ def _fwd_shard_map(static, x, w, b, y):
         lead = yl.shape
         xf = xl.reshape(-1, xl.shape[-1])
         yf = yl.reshape(-1).astype(jnp.int32)
-        w_chunks, b_chunks, base = _local_chunks(wl, bl, yf, n_chunks,
-                                                 model_axis)
-        loss, lse = F._chunked_fwd(model_axis, xf, w_chunks, b_chunks, yf,
-                                   base)
+        loss, lse = F._chunked_fwd(model_axis, n_chunks, xf, wl, bl, yf,
+                                   _shard_base(wl, model_axis))
         return loss.reshape(lead), lse.reshape(lead)
 
     return jax.shard_map(
@@ -114,21 +108,16 @@ def _bwd_shard_map(static, x, w, b, y, lse, g):
     def body(xl, wl, bl, yl, lsel, gl):
         xf = xl.reshape(-1, xl.shape[-1])
         yf = yl.reshape(-1).astype(jnp.int32)
-        w_chunks, b_chunks, base = _local_chunks(wl, bl, yf, n_chunks,
-                                                 model_axis)
-        dx, (dw, db) = F._chunked_bwd_scan(
-            xf, w_chunks, b_chunks, yf, base, lsel.reshape(-1),
-            gl.reshape(-1).astype(jnp.float32))
+        dx, dw, db = F._chunked_bwd_scan(
+            n_chunks, xf, wl, bl, yf, _shard_base(wl, model_axis),
+            lsel.reshape(-1), gl.reshape(-1).astype(jnp.float32))
         # dx: each model shard holds only its vocab slice's dlogits @ w^T
         # partial -> sum across the model axis.  dw/db: each data shard
         # summed only its local tokens -> sum across the data axis.
         dx = jax.lax.psum(dx, model_axis)
         dw = jax.lax.psum(dw, data_axis)
         db = jax.lax.psum(db, data_axis)
-        V_local = wl.shape[1]
-        return (dx.reshape(xl.shape).astype(xl.dtype),
-                dw.transpose(1, 0, 2).reshape(wl.shape[0], V_local),
-                db.reshape(V_local))
+        return dx.reshape(xl.shape).astype(xl.dtype), dw, db
 
     return jax.shard_map(
         body, mesh=mesh,
