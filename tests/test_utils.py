@@ -110,3 +110,42 @@ def test_metrics_logger_nan_safe(tmp_path):
     assert recs[0]["loss"] is None and recs[0]["lr"] is None
     assert recs[0]["ok"] == 1.5
     json.loads(open(path).read().splitlines()[0])  # strict parse
+
+
+def test_async_checkpointer(tmp_path):
+    from tpu_flash.utils import AsyncCheckpointer
+
+    d = str(tmp_path / "ckpt")
+    with AsyncCheckpointer(keep=2) as ckpt:
+        for s in range(4):
+            tree = {"x": jnp.asarray([float(s)]),
+                    "opt": nn.adam(1e-3).init({"w": jnp.ones((2,))})}
+            ckpt.save(d, s, tree, metadata={"s": s})
+        ckpt.wait()
+        assert list_checkpoints(d) == [2, 3]     # ordered writes + pruning
+    tree, step, meta = restore_checkpoint(d)
+    assert step == 3 and meta["s"] == 3
+    assert float(tree["x"][0]) == 3.0
+    assert int(tree["opt"].step) == 0            # namedtuple rebuilt
+
+    # the snapshot happens at save() time: mutating (rebinding) the arrays
+    # afterwards must not change what lands on disk — the donation-safety
+    # contract the MT train loop relies on
+    with AsyncCheckpointer() as ckpt:
+        x = jnp.asarray([1.0, 2.0])
+        ckpt.save(d, 10, {"x": x})
+        x = x * 100.0
+    tree, step, _ = restore_checkpoint(d)
+    np.testing.assert_array_equal(np.asarray(tree["x"]), [1.0, 2.0])
+
+
+def test_async_checkpointer_surfaces_write_errors(tmp_path):
+    from tpu_flash.utils import AsyncCheckpointer
+
+    ckpt = AsyncCheckpointer()
+    # a FILE where the checkpoint dir should be -> background write fails
+    bad = tmp_path / "not_a_dir"
+    bad.write_text("occupied")
+    ckpt.save(str(bad), 0, {"x": jnp.asarray([1.0])})
+    with pytest.raises(Exception):
+        ckpt.close()

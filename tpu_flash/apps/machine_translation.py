@@ -451,21 +451,30 @@ def main(argv=None):
 
     metrics = MetricsLogger(os.path.join(workdir, "metrics.jsonl"),
                             run={"event_args": vars(args)})
+    from tpu_flash.utils import AsyncCheckpointer
+
+    ckpt = AsyncCheckpointer()
     try:
         _train_loop(args, model, opt, params, opt_state, dataset,
                     train_collate_fn, collate_fn,
                     batch_size, key, start_epoch, native_loader, metrics,
-                    ckpt_dir, tokenizer, src_key, tgt_key, L, ctx=ctx)
+                    ckpt_dir, tokenizer, src_key, tgt_key, L, ctx=ctx,
+                    ckpt=ckpt)
     finally:
+        # flush the in-flight async checkpoint write before exiting (also
+        # surfaces any background write error)
+        ckpt.close()
         metrics.close()
 
 
 def _train_loop(args, model, opt, params, opt_state, dataset,
                 train_collate_fn, collate_fn,
                 batch_size, key, start_epoch, native_loader, metrics,
-                ckpt_dir, tokenizer, src_key, tgt_key, L, ctx=None):
-    from tpu_flash.utils import save_checkpoint
-
+                ckpt_dir, tokenizer, src_key, tgt_key, L, ctx=None,
+                ckpt=None):
+    if ckpt is None:
+        from tpu_flash.utils import AsyncCheckpointer
+        ckpt = AsyncCheckpointer()
     train_step = None
     if ctx is not None:
         from tpu_flash import parallel
@@ -514,11 +523,13 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
         metrics.log(step=epoch, event="epoch", **epoch_rec)
 
         if args.checkpoint_every and (epoch + 1) % args.checkpoint_every == 0:
-            path = save_checkpoint(
-                ckpt_dir, epoch,
-                {"params": params, "opt_state": opt_state},
-                metadata={"lr": args.lr, "config": vars(args)})
-            print(json.dumps({"checkpoint": path}))
+            # async: serialization/IO overlaps the next epoch (BLEU eval,
+            # training); only the D2H snapshot happens here
+            ckpt.save(ckpt_dir, epoch,
+                      {"params": params, "opt_state": opt_state},
+                      metadata={"lr": args.lr, "config": vars(args)})
+            print(json.dumps({"checkpoint": f"{ckpt_dir}/step_{epoch}",
+                              "async": True}))
 
         if not args.skip_bleu:
             hyps = generate_translations(

@@ -54,26 +54,30 @@ def _treedef_spec(tree: Any) -> Any:
     return {"__kind__": "leaf"}
 
 
-def save_checkpoint(directory: str, step: int, tree: Any,
-                    metadata: dict | None = None, keep: int = 3) -> str:
-    """Atomically save `tree` as step `step`; prunes to the newest `keep`."""
+def _gather(tree: Any) -> dict[str, np.ndarray]:
+    """Device->host copy of every leaf (the synchronization point)."""
+    arrays = {}
+    for path, leaf in _flatten_with_paths(tree):
+        if leaf is None:
+            continue
+        arrays[path] = np.asarray(jax.device_get(leaf))
+    return arrays
+
+
+def _write(directory: str, step: int, arrays: dict, structure: Any,
+           metadata: dict | None, keep: int) -> str:
+    """Serialize + atomic rename (pure host IO; safe off-thread)."""
     os.makedirs(directory, exist_ok=True)
     final = os.path.join(directory, f"step_{step}")
     tmp = final + ".tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
-
-    arrays = {}
-    for path, leaf in _flatten_with_paths(tree):
-        if leaf is None:
-            continue
-        arrays[path] = np.asarray(jax.device_get(leaf))
     np.savez(os.path.join(tmp, "arrays.npz"), **arrays)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump({
             "step": step,
-            "structure": _treedef_spec(tree),
+            "structure": structure,
             "dtypes": {k: str(v.dtype) for k, v in arrays.items()},
             "metadata": metadata or {},
         }, f)
@@ -86,6 +90,65 @@ def save_checkpoint(directory: str, step: int, tree: Any,
     for s in steps[:-keep]:
         shutil.rmtree(os.path.join(directory, f"step_{s}"))
     return final
+
+
+def save_checkpoint(directory: str, step: int, tree: Any,
+                    metadata: dict | None = None, keep: int = 3) -> str:
+    """Atomically save `tree` as step `step`; prunes to the newest `keep`."""
+    return _write(directory, step, _gather(tree), _treedef_spec(tree),
+                  metadata, keep)
+
+
+class AsyncCheckpointer:
+    """Checkpoint saves that overlap training (the orbax async pattern,
+    self-contained).
+
+    ``save()`` copies the tree to host memory synchronously — that part
+    CANNOT be deferred: the train step donates its param/opt-state buffers
+    (``donate_argnums``), so a background device read would race buffer
+    reuse — then hands serialization, fsync-rename and pruning to a worker
+    thread.  Training resumes as soon as the D2H copy is done instead of
+    stalling on disk IO for the full state size.  One write is in flight
+    at a time (a second ``save`` first waits for the previous write, so
+    checkpoints land in order and restore's latest-complete-step rule
+    holds).  ``wait()``/``close()`` surface any background write error.
+    """
+
+    def __init__(self, keep: int = 3):
+        import concurrent.futures
+
+        self.keep = keep
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+        self._pending = None
+
+    def save(self, directory: str, step: int, tree: Any,
+             metadata: dict | None = None) -> None:
+        arrays = _gather(tree)                     # sync: donation-safe
+        structure = _treedef_spec(tree)
+        self.wait()                                # keep writes ordered
+        self._pending = self._pool.submit(
+            _write, directory, step, arrays, structure, metadata, self.keep)
+
+    def wait(self) -> str | None:
+        """Block until the in-flight write (if any) completes; re-raises
+        its error; returns the written path."""
+        if self._pending is None:
+            return None
+        pending, self._pending = self._pending, None
+        return pending.result()
+
+    def close(self) -> None:
+        try:
+            self.wait()
+        finally:
+            self._pool.shutdown(wait=True)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def list_checkpoints(directory: str) -> list[int]:
