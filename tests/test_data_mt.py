@@ -101,3 +101,39 @@ def test_mt_cli_end_to_end_with_checkpoint(tmp_path):
     assert (tmp_path / "metrics.jsonl").exists()
     # resume path restores and runs (same epoch count -> restores, no-op loop)
     app.main(args + ["--resume"])
+
+
+def test_accum_steps_matches_full_batch_step():
+    """make_train_step(accum_steps=A) must produce the same loss and params
+    as the plain full-batch step (same semantics, 1/A activation memory)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_flash import nn
+    from tpu_flash.apps.machine_translation import make_train_step
+
+    cfg = nn.DecoderConfig(n_vocab=64, n_embd=32, n_head=4, n_positions=16,
+                           n_layer=1, p_dropout=0.0, attention_kind="naive")
+    model = nn.DecoderLM(cfg)
+    params = model.init(jax.random.key(0))
+    opt = nn.adam(lr=1e-2)
+    opt_state = opt.init(params)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(0, 64, (8, 16)), jnp.int32),
+        "labels": jnp.asarray(rng.integers(0, 64, (8, 16)), jnp.int32),
+        "label_token_weights": jnp.asarray(rng.random((8, 16)), jnp.float32),
+        "loss_norm": jnp.float32(8 * 16),
+    }
+    key = jax.random.key(1)
+    full = make_train_step(model, opt, chunked_vocab=2)
+    acc = make_train_step(model, opt, chunked_vocab=2, accum_steps=4)
+    p1, _, l1 = full(params, opt_state, batch, key)
+    p2, _, l2 = acc(params, opt_state, batch, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        # microbatch grad sums reassociate fp adds vs the one-batch grad
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

@@ -213,3 +213,36 @@ def test_chunked_loss_axis_form_grad_inside_shard_map(rng):
     for got, e, name in zip((dh, dw, db), exp, ["dh", "dw", "db"]):
         np.testing.assert_allclose(got, e, atol=1e-4, rtol=1e-4,
                                    err_msg=name)
+
+
+def test_evaluate_loss_under_tp_context(rng):
+    """Regression: apps.machine_translation.evaluate_loss must trace under
+    the active parallel context — a bare jit against TP-sharded params
+    skips the Pallas ops' shard_map wrapping (caught in review 2026-08-18).
+    Pins the sharded-eval value against the unsharded model."""
+    from tpu_flash.apps.machine_translation import evaluate_loss, make_loss_fn
+
+    cfg = nn.DecoderConfig(n_vocab=64, n_embd=32, n_head=4, n_positions=16,
+                           n_layer=1, p_dropout=0.0, attention_kind="flash")
+    model = nn.DecoderLM(cfg)
+    params = model.init(jax.random.key(0))
+
+    B, L = 4, 16
+    def collate_fn(examples):
+        r = np.random.default_rng(sum(examples))
+        return {
+            "input_ids": r.integers(0, 64, (B, L)).astype(np.int32),
+            "labels": r.integers(0, 64, (B, L)).astype(np.int32),
+            "label_token_weights": np.ones((B, L), np.float32),
+        }
+    examples = list(range(8))
+
+    ref = evaluate_loss(model, params, examples, collate_fn, B,
+                        chunked_vocab=2)
+
+    ctx = parallel.make_mesh(data=2, model=4)
+    sparams, _ = parallel.shard_params(ctx, model, params)
+    parallel.set_parallel_context(None)  # evaluate_loss must manage it
+    got = evaluate_loss(model, sparams, examples, collate_fn, B,
+                        chunked_vocab=2, ctx=ctx)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)

@@ -68,8 +68,32 @@ def make_loss_fn(model, chunked_vocab: int = 0, ctx=None):
     return loss_fn
 
 
-def make_train_step(model, opt, chunked_vocab: int = 0):
+def make_train_step(model, opt, chunked_vocab: int = 0,
+                    accum_steps: int = 1):
     loss_fn = make_loss_fn(model, chunked_vocab=chunked_vocab)
+
+    if accum_steps > 1:
+        compute = nn.accumulate_gradients(loss_fn, accum_steps)
+
+        @jax.jit
+        def train_step(params, opt_state, batch, key):
+            A = accum_steps
+
+            def split(k, v):
+                if getattr(v, "ndim", 0) == 0:      # loss_norm etc.
+                    # each microbatch normalizes by 1/A of the full-batch
+                    # divisor; the 1/A average of micro losses then equals
+                    # the full-batch loss exactly
+                    return jnp.broadcast_to(
+                        jnp.asarray(v, jnp.float32) / A, (A,))
+                return v.reshape(A, v.shape[0] // A, *v.shape[1:])
+
+            micro = {k: split(k, v) for k, v in batch.items()}
+            loss, grads = compute(params, micro, key, True)
+            params, opt_state = opt.update(grads, opt_state, params)
+            return params, opt_state, loss
+
+        return train_step
 
     @jax.jit
     def train_step(params, opt_state, batch, key):
@@ -287,6 +311,11 @@ def main(argv=None):
     p.add_argument("--chunked-loss", type=int, default=0, metavar="N",
                    help="fuse lm_head+cross-entropy over N vocab chunks "
                         "(no [B,L,V] logits tensor); 0 = off")
+    p.add_argument("--accum-steps", type=int, default=1, metavar="A",
+                   help="gradient accumulation: split each batch into A "
+                        "microbatches scanned with one optimizer step "
+                        "(activation memory of one microbatch); "
+                        "single-device path only")
     p.add_argument("--checkpoint-every", type=int, default=1,
                    help="save a checkpoint every N epochs (0 disables)")
     p.add_argument("--resume", action="store_true",
@@ -324,6 +353,18 @@ def main(argv=None):
         if batch_size % args.dp:
             batch_size = -(-batch_size // args.dp) * args.dp
             print(json.dumps({"batch_size_rounded_to_dp": batch_size}))
+    if args.accum_steps > 1:
+        if ctx is not None:
+            raise SystemExit("--accum-steps composes with the single-device "
+                             "step only (use a larger --dp instead of "
+                             "accumulating under a mesh)")
+        if args.pack:
+            raise SystemExit("--accum-steps with --pack is unsupported: "
+                             "packed rows-per-step vary, so microbatch "
+                             "splits would be ragged")
+        if batch_size % args.accum_steps:
+            batch_size = -(-batch_size // args.accum_steps) * args.accum_steps
+            print(json.dumps({"batch_size_rounded_to_accum": batch_size}))
     workdir = args.workdir or f"workdir_vocab{args.n_vocab}_len{L}"
     os.makedirs(workdir, exist_ok=True)
 
@@ -483,6 +524,10 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
         make_step = (parallel.make_zero1_train_step if args.zero1
                      else parallel.make_sharded_train_step)
         train_step = make_step(ctx, model, opt, loss_fn)
+    elif getattr(args, "accum_steps", 1) > 1:
+        train_step = make_train_step(model, opt,
+                                     chunked_vocab=args.chunked_loss,
+                                     accum_steps=args.accum_steps)
 
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)

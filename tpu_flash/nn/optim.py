@@ -162,16 +162,19 @@ def accumulate_gradients(loss_fn, accum_steps: int):
         def body(carry, micro):
             loss, grads = jax.value_and_grad(loss_fn)(params, micro, *args)
             acc_loss, acc_grads = carry
+            # accumulate in fp32: summing A bf16 microbatch grads in bf16
+            # loses low bits exactly where accumulation matters
             acc_grads = jax.tree_util.tree_map(
-                lambda a, g: a + g, acc_grads, grads)
+                lambda a, g: a + g.astype(jnp.float32), acc_grads, grads)
             return (acc_loss + loss, acc_grads), None
 
-        zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+        zero_grads = jax.tree_util.tree_map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params)
         (loss_sum, grad_sum), _ = jax.lax.scan(
             body, (jnp.zeros((), jnp.float32), zero_grads), batch)
         inv = 1.0 / accum_steps
         return loss_sum * inv, jax.tree_util.tree_map(
-            lambda g: g * inv, grad_sum)
+            lambda g, p: (g * inv).astype(p.dtype), grad_sum, params)
 
     return compute
 
