@@ -246,3 +246,29 @@ def test_evaluate_loss_under_tp_context(rng):
     got = evaluate_loss(model, sparams, examples, collate_fn, B,
                         chunked_vocab=2, ctx=ctx)
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_generate_translations_under_tp_context():
+    """Regression (review 2026-08-18): BLEU generation against TP-sharded
+    params must trace under the parallel context, like evaluate_loss."""
+    from tpu_flash.apps.machine_translation import generate_translations
+    from tpu_flash.data import mt
+
+    data = mt.synthetic_translation_dataset(n_train=32, n_validation=1,
+                                            n_test=4)
+    tok = mt.get_tokenizer(data["train"], 300, "de", "en",
+                           workdir="/tmp/test_tp_gen_tok")
+    cfg = nn.DecoderConfig(n_vocab=300, n_embd=32, n_head=4, n_positions=64,
+                           n_layer=1, p_dropout=0.0, attention_kind="flash")
+    model = nn.DecoderLM(cfg)
+    params = model.init(jax.random.key(0))
+
+    ref = generate_translations(model, params, data["test"], "de", "en",
+                                tok, 32, batch_size=4)
+
+    ctx = parallel.make_mesh(data=2, model=2, devices=jax.devices()[:4])
+    sparams, _ = parallel.shard_params(ctx, model, params)
+    parallel.set_parallel_context(None)
+    got = generate_translations(model, sparams, data["test"], "de", "en",
+                                tok, 32, batch_size=4, ctx=ctx)
+    assert got == ref

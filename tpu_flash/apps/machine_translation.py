@@ -73,7 +73,12 @@ def make_train_step(model, opt, chunked_vocab: int = 0,
     loss_fn = make_loss_fn(model, chunked_vocab=chunked_vocab)
 
     if accum_steps > 1:
-        compute = nn.accumulate_gradients(loss_fn, accum_steps)
+        def micro_loss(params, micro, training=True):
+            micro = dict(micro)
+            return loss_fn(params, micro, key=micro.pop("__key__"),
+                           training=training)
+
+        compute = nn.accumulate_gradients(micro_loss, accum_steps)
 
         @jax.jit
         def train_step(params, opt_state, batch, key):
@@ -89,7 +94,10 @@ def make_train_step(model, opt, chunked_vocab: int = 0,
                 return v.reshape(A, v.shape[0] // A, *v.shape[1:])
 
             micro = {k: split(k, v) for k, v in batch.items()}
-            loss, grads = compute(params, micro, key, True)
+            # distinct dropout keys per microbatch (scanned with the batch);
+            # reusing one key would give every microbatch the same mask
+            micro["__key__"] = jax.random.split(key, A)
+            loss, grads = compute(params, micro, True)
             params, opt_state = opt.update(grads, opt_state, params)
             return params, opt_state, loss
 
@@ -210,10 +218,23 @@ def evaluate_loss(model, params, examples, collate_fn, batch_size,
 def generate_translations(model, params, examples, src_key, tgt_key,
                           tokenizer, model_max_length, *, batch_size=16,
                           max_new_tokens=None, kv_quant="none",
-                          beam_size=1):
+                          beam_size=1, ctx=None):
     """Batched KV-cache decode for the test set (greedy, or beam search for
     ``beam_size > 1``); returns detokenized hypotheses aligned with
-    ``examples``."""
+    ``examples``.
+
+    ``ctx``: decode against mesh-sharded params — traces under the parallel
+    context so the decode attention picks its tensor-parallel shard_map
+    wrapping (same requirement as evaluate_loss; indivisible batch/head
+    shapes fall back to the GSPMD-partitioned graph inside ops/attention)."""
+    if ctx is not None:
+        from tpu_flash.parallel.context import parallel_context
+        with parallel_context(ctx):
+            return generate_translations(
+                model, params, examples, src_key, tgt_key, tokenizer,
+                model_max_length, batch_size=batch_size,
+                max_new_tokens=max_new_tokens, kv_quant=kv_quant,
+                beam_size=beam_size)
     eos_tgt = tokenizer.vocab[f"<eos_{tgt_key}>"]
     pad_id = tokenizer.vocab["<pad>"]
     max_new = max_new_tokens or model_max_length
@@ -579,7 +600,8 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
         if not args.skip_bleu:
             hyps = generate_translations(
                 model, params, dataset["test"], src_key, tgt_key, tokenizer,
-                L, kv_quant=args.kv_quant, beam_size=args.beam_size)
+                L, kv_quant=args.kv_quant, beam_size=args.beam_size,
+                ctx=ctx)
             scores = evaluate_bleu(dataset["test"], hyps, tgt_key)
             print(json.dumps({"epoch": epoch, **scores}))
             for ex, hyp in list(zip(dataset["test"], hyps))[:3]:

@@ -66,11 +66,14 @@ def adam(
 
     def update(grads, state, params):
         step = state.step + 1
+        # moments keep their own dtype: fp32 grads (e.g. from
+        # accumulate_gradients) must not promote a bf16 state tree
         exp_avg = jax.tree_util.tree_map(
-            lambda m, g: beta1 * m + (1.0 - beta1) * g,
+            lambda m, g: (beta1 * m + (1.0 - beta1) * g).astype(m.dtype),
             state.exp_avg, grads)
         exp_avg_sq = jax.tree_util.tree_map(
-            lambda v, g: beta2 * v + sq_coeff * jnp.square(g),
+            lambda v, g: (beta2 * v + sq_coeff * jnp.square(g))
+            .astype(v.dtype),
             state.exp_avg_sq, grads)
         bc1 = 1.0 - beta1 ** step.astype(jnp.float32)
         bc2 = 1.0 - beta2 ** step.astype(jnp.float32)
@@ -117,10 +120,11 @@ def adamw(
         step = state.step + 1
         lr_t = lr(step) if callable(lr) else lr
         exp_avg = jax.tree_util.tree_map(
-            lambda m, g: beta1 * m + (1.0 - beta1) * g,
+            lambda m, g: (beta1 * m + (1.0 - beta1) * g).astype(m.dtype),
             state.exp_avg, grads)
         exp_avg_sq = jax.tree_util.tree_map(
-            lambda v, g: beta2 * v + (1.0 - beta2) * jnp.square(g),
+            lambda v, g: (beta2 * v + (1.0 - beta2) * jnp.square(g))
+            .astype(v.dtype),
             state.exp_avg_sq, grads)
         bc1 = 1.0 - beta1 ** step.astype(jnp.float32)
         bc2 = 1.0 - beta2 ** step.astype(jnp.float32)
@@ -173,8 +177,11 @@ def accumulate_gradients(loss_fn, accum_steps: int):
         (loss_sum, grad_sum), _ = jax.lax.scan(
             body, (jnp.zeros((), jnp.float32), zero_grads), batch)
         inv = 1.0 / accum_steps
+        # grads stay fp32 (the optimizers are param-dtype-stable regardless
+        # of grad dtype, and mixed_precision consumes fp32 directly — a
+        # bf16 down-cast here would throw away the accumulation)
         return loss_sum * inv, jax.tree_util.tree_map(
-            lambda g, p: (g * inv).astype(p.dtype), grad_sum, params)
+            lambda g: g * inv, grad_sum)
 
     return compute
 
