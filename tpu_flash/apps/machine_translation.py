@@ -156,13 +156,22 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
     if n_samples:
         order = order[:n_samples]
 
-    losses = []
+    # Async stepping: the host syncs (float(loss)) only at log boundaries,
+    # so up to log_every device steps queue back-to-back and host-side batch
+    # prep overlaps device compute.  Over a tunneled link each sync costs
+    # ~40 ms — syncing every step made that a per-step tax (the reference
+    # syncs every step for its tqdm postfix).  Per-step times are the
+    # marginal window time / steps; the first window (compile) is excluded
+    # from step_times like the old `it > 0` rule.
+    losses_dev = []
     step_times = []
     step_tokens = 0
     n_batches = len(order) // batch_size
+    if max_iters is not None:
+        n_batches = min(n_batches, max_iters)
+    mark_t = time.perf_counter()
+    mark_it = 0
     for it in range(n_batches):
-        if max_iters is not None and it >= max_iters:
-            break
         if native_loader is not None:
             batch = native_loader.next()
         else:
@@ -173,21 +182,25 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
                 batch_size * batch["input_ids"].shape[1])
         batch = _place_batch(ctx, batch)
         key, sub = jax.random.split(key)
-        t0 = time.perf_counter()
         params, opt_state, loss = train_step(params, opt_state, batch, sub)
-        loss = float(loss)  # host sync: closes the step timing
-        dt = time.perf_counter() - t0
-        losses.append(loss)
+        losses_dev.append(loss)
         step_tokens = int(batch["input_ids"].size)
-        if it > 0:
-            step_times.append(dt)
-        if it % log_every == 0:
+        if it % log_every == 0 or it == n_batches - 1:
+            loss_h = float(loss)                 # host sync closes window
+            now = time.perf_counter()
+            n_win = it - mark_it + 1
+            dt = (now - mark_t) / n_win
+            if mark_it > 0:
+                step_times.extend([dt] * n_win)
+            mark_t, mark_it = now, it + 1
             toks = batch["input_ids"].size
-            print(f"  it {it}/{n_batches}  loss {loss:.4f}  "
+            print(f"  it {it}/{n_batches}  loss {loss_h:.4f}  "
                   f"tokens/sec {toks / dt:,.0f}")
             if metrics is not None:
-                metrics.log(step=it, loss=loss, step_ms=round(dt * 1e3, 2),
+                metrics.log(step=it, loss=loss_h,
+                            step_ms=round(dt * 1e3, 2),
                             tokens_per_sec=round(toks / dt))
+    losses = [float(l) for l in losses_dev]
     return params, opt_state, losses, step_times, step_tokens
 
 
