@@ -137,3 +137,71 @@ def test_sharded_flash_attention_dropout_runs(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(jnp.max(jnp.abs(a - c))) > 0.0
     assert a.sharding.spec == P("data", "model", None, None)
+
+
+def test_sequence_parallel_matches_single_device(rng):
+    """Megatron-SP activation sharding (DecoderConfig.sequence_parallel) is
+    a pure layout annotation: the sharded train step must reproduce
+    single-device losses, and generation/decode must be unaffected."""
+    cfg = nn.DecoderConfig(n_vocab=128, n_embd=64, n_head=8, n_positions=32,
+                           n_layer=2, p_dropout=0.0, attention_kind="flash",
+                           sequence_parallel=True)
+    model = nn.DecoderLM(cfg)
+    opt = nn.adam(lr=1e-3)
+    loss_fn = loss_fn_for(model)
+
+    ctx = parallel.make_mesh(data=2, model=4)
+    params, opt_state, _ = parallel.init_sharded(
+        ctx, model, opt, jax.random.key(0))
+    raw = make_batch(rng, B=8)
+    batch = parallel.put_batch(ctx, raw)
+    step = parallel.make_sharded_train_step(ctx, model, opt, loss_fn)
+    sharded_losses = []
+    for i in range(3):
+        params, opt_state, loss = step(params, opt_state, batch,
+                                       jax.random.key(i))
+        sharded_losses.append(float(loss))
+
+    parallel.set_parallel_context(None)
+    p = model.init(jax.random.key(0))
+    o = opt.init(p)
+
+    @jax.jit
+    def step1(p, o, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(p, batch, key=key,
+                                                  training=True)
+        p, o = opt.update(grads, o, p)
+        return p, o, loss
+
+    host_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    single_losses = []
+    for i in range(3):
+        p, o, loss = step1(p, o, host_batch, jax.random.key(i))
+        single_losses.append(float(loss))
+    np.testing.assert_allclose(sharded_losses, single_losses,
+                               rtol=1e-5, atol=1e-6)
+
+    # decode path (L=1 steps) must ignore SP: cached generation under the
+    # ctx still matches the unsharded model's logits
+    from tpu_flash.inference.sampler import make_caches
+    ids = jnp.asarray(rng.integers(0, 128, (4, 8)), jnp.int32)
+
+    def decode_all(prm):
+        caches = make_caches(model, 4, 16)
+        logits, caches = model(prm, ids[:, :4], kv_caches=caches,
+                               positions=jnp.arange(4)[None, :].repeat(4, 0))
+        outs = [logits[:, -1]]
+        for t in range(4, 8):
+            logits, caches = model(prm, ids[:, t:t + 1], kv_caches=caches,
+                                   positions=jnp.full((4, 1), t, jnp.int32))
+            outs.append(logits[:, 0])
+        return jnp.stack(outs, 1)
+
+    ref = decode_all(p)
+    parallel.set_parallel_context(ctx)
+    try:
+        got = decode_all(params)
+    finally:
+        parallel.set_parallel_context(None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)

@@ -362,6 +362,10 @@ def main(argv=None):
                         "vocab-parallel fused loss)")
     p.add_argument("--zero1", action="store_true",
                    help="shard Adam moments over the data axis (ZeRO-1)")
+    p.add_argument("--sequence-parallel", action="store_true",
+                   help="Megatron-SP: shard LN/dropout/residual activations "
+                        "over the tp axis along the sequence dim (needs "
+                        "--tp > 1 to have any effect)")
     args = p.parse_args(argv)
 
     L = args.model_max_length
@@ -455,6 +459,7 @@ def main(argv=None):
         n_positions=L, n_layer=args.n_layer, p_dropout=args.p_dropout,
         attention_kind=args.attention_kind,
         use_fused_kernel=args.use_fused_kernel,
+        sequence_parallel=args.sequence_parallel,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     model = nn.DecoderLM(cfg)

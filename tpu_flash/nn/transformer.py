@@ -77,6 +77,7 @@ class DecoderConfig:
     remat: bool = False                           # jax.checkpoint per layer
     embedding_one_hot: bool = False               # reference parity path
     moe: MoEConfig | None = None                  # routed FFN (expert par.)
+    sequence_parallel: bool = False               # Megatron-SP activations
 
     def __post_init__(self):
         if self.n_embd % self.n_head:
@@ -323,6 +324,31 @@ class FeedForward(Module):
         return self.linear_out(params["linear_out"], x)
 
 
+def _sequence_shard(x: jax.Array) -> jax.Array:
+    """Megatron-style sequence-parallel activation constraint.
+
+    Under tensor parallelism the residual stream and its LN/dropout
+    segments are replicated on every model shard; Megatron-LM's sequence
+    parallelism (Korthikanti et al. 2022) instead shards them over the TP
+    axis along the SEQUENCE dim.  TPU-natively that is one GSPMD
+    annotation: constraining [B, L, E] activations to
+    P(data, model, None) makes XLA replace each TP all-reduce (the
+    out-projection / FF partial sums) with a reduce-scatter here and an
+    all-gather at the next TP block's input — the same bytes as the
+    all-reduce they replace, while LN/dropout/residual compute and
+    activation memory drop to 1/tp per shard.  No-op without an active
+    context, with model_size 1, or when shapes don't divide the mesh."""
+    from tpu_flash.parallel.context import current_context
+
+    ctx = current_context()
+    if (ctx is None or ctx.model_size == 1 or x.ndim != 3
+            or x.shape[0] % ctx.data_size
+            or x.shape[1] % ctx.model_size):
+        return x
+    return jax.lax.with_sharding_constraint(
+        x, ctx.sharding(ctx.data_axis, ctx.model_axis, None))
+
+
 class TransformerLayer(Module):
     def __init__(self, cfg: DecoderConfig):
         self.cfg = cfg
@@ -340,6 +366,11 @@ class TransformerLayer(Module):
                  kv_cache=None, kv_mask=None, positions=None,
                  segment_ids=None, key=None, training: bool = False):
         k1, k2 = (jax.random.split(key) if key is not None else (None, None))
+        # decode (kv_cache) steps have L=1..few: sequence sharding is
+        # meaningless there, so SP applies to the train/prefill path only
+        sp = self.cfg.sequence_parallel and kv_cache is None
+        if sp:
+            x = _sequence_shard(x)
         h = self.ln_1(params["ln_1"], x)
         if kv_cache is not None:
             attn_out, kv_cache = self.attention(
@@ -350,13 +381,13 @@ class TransformerLayer(Module):
                 params["attention"], h, kv_mask=kv_mask,
                 positions=positions, segment_ids=segment_ids, key=k1,
                 training=training)
-        out = x + attn_out
+        out = x + (_sequence_shard(attn_out) if sp else attn_out)
         ff_out = self.ff(params["ff"], self.ln_2(params["ln_2"], out),
                          key=k2, training=training)
         aux = None
         if self.cfg.moe is not None:
             ff_out, aux = ff_out
-        result = out + ff_out
+        result = out + (_sequence_shard(ff_out) if sp else ff_out)
         extras = () if aux is None else (aux,)
         if kv_cache is not None:
             return (result, kv_cache, *extras)
