@@ -226,3 +226,42 @@ def test_engine_speculative_self_draft_round_trip_efficiency():
     assert steps == 2, steps
     exp = greedy_reference(model, params, [5, 6, 7], 9)
     assert done[0].tokens == exp
+
+
+def test_chunked_prefill_matches_reference_greedy():
+    """prefill_chunk admissions (with interleaved decode steps for active
+    slots) must emit exactly the tokens of the bucketed-prefill engine and
+    the step-by-step greedy oracle."""
+    model, params = make_model()
+    engine = DecodeEngine(
+        model, params, n_slots=2, max_len=64,
+        sampling=SamplingConfig(max_new_tokens=5), prefill_chunk=4)
+    # prompts longer than one chunk; 3 requests on 2 slots so the third
+    # admission happens while slots are active (interleave path)
+    prompts = {1: [5, 6, 7, 9, 2, 4, 8, 1, 3], 2: [9, 8, 7, 6, 5, 4],
+               3: [11, 12, 13, 1, 2, 3, 4, 5, 6, 7]}
+    for uid, p in prompts.items():
+        engine.submit(Request(uid, p))
+    done = engine.run()
+    assert sorted(c.uid for c in done) == [1, 2, 3]
+    for c in done:
+        exp = greedy_reference(model, params, prompts[c.uid], 5)
+        assert c.tokens == exp, (c.uid, c.tokens, exp)
+
+
+def test_chunked_prefill_speculative_engine():
+    """Chunked prefill must fill BOTH the target and draft caches; the
+    speculative loop then produces the exact greedy tokens."""
+    model, params = make_model()
+    engine = DecodeEngine(
+        model, params, n_slots=2, max_len=64,
+        sampling=SamplingConfig(max_new_tokens=5), prefill_chunk=4,
+        draft_model=model, draft_params=params, n_draft=3)
+    prompts = {1: [5, 6, 7, 9, 2], 2: [9, 8, 7, 6, 5, 4, 3]}
+    for uid, p in prompts.items():
+        engine.submit(Request(uid, p))
+    done = engine.run_speculative()
+    assert sorted(c.uid for c in done) == [1, 2]
+    for c in done:
+        exp = greedy_reference(model, params, prompts[c.uid], 5)
+        assert c.tokens == exp, (c.uid, c.tokens, exp)

@@ -57,7 +57,8 @@ class DecodeEngine:
                  sampling: SamplingConfig, kv_quant: str = "none",
                  pad_id: int = 0, seed: int = 0,
                  draft_model=None, draft_params=None, n_draft: int = 4,
-                 draft_kv_quant: str = "none"):
+                 draft_kv_quant: str = "none",
+                 prefill_chunk: int | None = None):
         self.model = model
         self.params = params
         self.n_slots = n_slots
@@ -65,6 +66,15 @@ class DecodeEngine:
         self.sampling = sampling
         self.pad_id = pad_id
         self.key = jax.random.key(seed)
+        # chunked prefill: admissions run the prompt through the model in
+        # fixed-size chunks with a decode step for the active slots between
+        # chunks, so a long admission adds at most ~chunk tokens of prefill
+        # compute to any active request's inter-token latency (and ONE
+        # compilation replaces the per-bucket prefill ladder)
+        self.prefill_chunk = prefill_chunk
+        if prefill_chunk is not None and prefill_chunk < 1:
+            raise ValueError(f"prefill_chunk must be >= 1, "
+                             f"got {prefill_chunk}")
 
         self.caches = make_caches(model, n_slots, max_len, quant=kv_quant,
                                   compute_dtype=model.cfg.dtype)
@@ -79,6 +89,8 @@ class DecodeEngine:
 
         self._decode_step = jax.jit(self._decode_step_impl)
         self._prefill = {}       # (is_draft, bucket) -> jitted fn
+        self._chunk_prefill = {}  # is_draft -> jitted fn (chunked mode)
+        self._scatter = None      # jitted sub-cache -> slot scatter
         self._decode_multi = {}  # n_steps -> jitted fn
 
         # optional speculative decoding: a draft model with its own slot
@@ -157,6 +169,94 @@ class DecodeEngine:
             self._prefill[(draft, bucket)] = jax.jit(prefill)
         return self._prefill[(draft, bucket)]
 
+    def _get_chunk_prefill(self, *, draft: bool = False) -> Callable:
+        """One fixed-size prompt chunk through the model into a detached
+        1-slot sub-cache (batch 1); ``start`` is the chunk's first position."""
+        if draft not in self._chunk_prefill:
+            model = self.draft_model if draft else self.model
+            C = self.prefill_chunk
+
+            def chunk(params, sub, ids, start):
+                positions = (start
+                             + jnp.arange(C, dtype=jnp.int32))[None, :]
+                logits, sub = model(params, ids[None, :], kv_caches=sub,
+                                    positions=positions)
+                return logits, sub
+
+            self._chunk_prefill[draft] = jax.jit(chunk)
+        return self._chunk_prefill[draft]
+
+    def _get_scatter(self) -> Callable:
+        """Jitted copy of a 1-slot sub-cache into the slot selected by a
+        one-hot mask (same mix as the bucketed prefill's epilogue)."""
+        if self._scatter is None:
+            n_slots = self.n_slots
+
+            def scatter_all(caches, subs, slot_onehot, length):
+                def scatter(main, one):
+                    sel = slot_onehot  # [n_slots] bool
+
+                    def mix(a, b):
+                        if a is None:
+                            return None
+                        shape = (n_slots,) + (1,) * (a.ndim - 1)
+                        return jnp.where(sel.reshape(shape),
+                                         b.astype(a.dtype), a)
+
+                    return KVCache(
+                        mix(main.k, one.k), mix(main.v, one.v),
+                        mix(main.k_scale, one.k_scale),
+                        mix(main.v_scale, one.v_scale),
+                        jnp.where(sel, length, main.lengths),
+                        main.quant, main.compute_dtype,
+                        n_head=main.n_head)
+
+                return [scatter(m, o) for m, o in zip(caches, subs)]
+
+            self._scatter = jax.jit(scatter_all)
+        return self._scatter
+
+    def _chunked_prefill(self, slot: int, prompt) -> jax.Array:
+        """Admit one prompt in ``prefill_chunk``-sized pieces, running a
+        decode step for the already-active slots after each chunk: the
+        admission's latency cost to in-flight requests is bounded by one
+        chunk of prefill compute instead of the full prompt.  The chunks
+        write a detached sub-cache, so the interleaved decode steps and the
+        final slot scatter cannot race.  Returns the prompt's last-token
+        logits."""
+        C = self.prefill_chunk
+        n_chunks = -(-len(prompt) // C)
+        onehot = np.zeros((self.n_slots,), bool)
+        onehot[slot] = True
+        onehot = jnp.asarray(onehot)
+        length = jnp.asarray(len(prompt), jnp.int32)
+        targets = [(False, self.model, self.params, "caches")]
+        if self.draft_model is not None:
+            targets.append(
+                (True, self.draft_model, self.draft_params, "draft_caches"))
+        last = None
+        for is_draft, model, params, attr in targets:
+            quant = getattr(self, attr)[0].quant
+            dtype = getattr(self, attr)[0].compute_dtype
+            sub = make_caches(model, 1, self.max_len, quant=quant,
+                              compute_dtype=dtype)
+            fn = self._get_chunk_prefill(draft=is_draft)
+            for t in range(n_chunks):
+                ids = np.full((C,), self.pad_id, np.int32)
+                seg = prompt[t * C:(t + 1) * C]
+                ids[: len(seg)] = seg
+                logits, sub = fn(params, sub, jnp.asarray(ids),
+                                 jnp.asarray(t * C, jnp.int32))
+                if not is_draft and t < n_chunks - 1:
+                    self.step()          # bound active slots' latency
+            # re-read the live caches: the interleaved decode steps above
+            # advanced them since this admission started
+            setattr(self, attr, self._get_scatter()(
+                getattr(self, attr), sub, onehot, length))
+            if not is_draft:
+                last = logits[0, (len(prompt) - 1) - (n_chunks - 1) * C]
+        return last
+
     def admit(self) -> None:
         """Fill free slots from the queue (one prefill per admission)."""
         for slot in range(self.n_slots):
@@ -164,20 +264,24 @@ class DecodeEngine:
                 continue
             req = self.queue.pop(0)
             prompt = req.prompt[: self.max_len - 1]
-            bucket = min(_bucket(len(prompt)), self.max_len)
-            ids = np.full((bucket,), self.pad_id, np.int32)
-            ids[: len(prompt)] = prompt
-            onehot = np.zeros((self.n_slots,), bool)
-            onehot[slot] = True
             self.key, sub = jax.random.split(self.key)
-            last_logits, self.caches = self._get_prefill(bucket)(
-                self.params, self.caches, jnp.asarray(onehot),
-                jnp.asarray(ids), jnp.asarray(len(prompt), jnp.int32))
-            if self.draft_model is not None:
-                _, self.draft_caches = self._get_prefill(bucket, draft=True)(
-                    self.draft_params, self.draft_caches,
-                    jnp.asarray(onehot), jnp.asarray(ids),
-                    jnp.asarray(len(prompt), jnp.int32))
+            if self.prefill_chunk is not None:
+                last_logits = self._chunked_prefill(slot, prompt)
+            else:
+                bucket = min(_bucket(len(prompt)), self.max_len)
+                ids = np.full((bucket,), self.pad_id, np.int32)
+                ids[: len(prompt)] = prompt
+                onehot = np.zeros((self.n_slots,), bool)
+                onehot[slot] = True
+                last_logits, self.caches = self._get_prefill(bucket)(
+                    self.params, self.caches, jnp.asarray(onehot),
+                    jnp.asarray(ids), jnp.asarray(len(prompt), jnp.int32))
+                if self.draft_model is not None:
+                    _, self.draft_caches = self._get_prefill(
+                        bucket, draft=True)(
+                        self.draft_params, self.draft_caches,
+                        jnp.asarray(onehot), jnp.asarray(ids),
+                        jnp.asarray(len(prompt), jnp.int32))
             first = _sample_token(last_logits[None, :], self.sampling, sub)
             tok = int(first[0])
             self.slot_uid[slot] = req.uid
