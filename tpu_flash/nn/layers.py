@@ -44,6 +44,14 @@ class Linear(Module):
         return p
 
     def __call__(self, params: Params, x: jax.Array) -> jax.Array:
+        if "codes4" in params:
+            # int4 weight-only serving path (see kernels/quant.py int4_*);
+            # created by ``quantize_linear_params(bits=4)``.
+            from tpu_flash.kernels.quant import (QuantizedLinearWeights4,
+                                                 int4_linear)
+            return int4_linear(x, QuantizedLinearWeights4(
+                params["codes4"], params["scales"], self.in_size,
+                params.get("bias")))
         if "codes" in params:
             # int8 weight-only serving path (see kernels/quant.py); created
             # by ``quantize_linear_params`` — dequant fused into the kernel.
@@ -119,16 +127,30 @@ class LayerNorm(Module):
         return xhat * params["gamma"] + params["beta"]
 
 
-def quantize_linear_params(params: Params) -> Params:
-    """Convert one Linear's params to the int8 weight-only form."""
-    codes, scales = quantize_weight(params["weight"], axis=0)
-    out = {"codes": codes, "scales": scales}
+def quantize_linear_params(params: Params, *, bits: int = 8,
+                           group_size: int | None = None) -> Params:
+    """Convert one Linear's params to int8 (``bits=8``) or packed int4
+    (``bits=4``, optional GPTQ-style ``group_size``) weight-only form."""
+    if bits == 4:
+        from tpu_flash.kernels.quant import quantize_weight_int4
+        w = params["weight"]
+        g = group_size
+        if g is not None and w.shape[0] % (2 * g):
+            g = None               # indivisible layer: per-channel fallback
+        codes4, scales, _ = quantize_weight_int4(w, group_size=g)
+        out = {"codes4": codes4, "scales": scales}
+    elif bits == 8:
+        codes, scales = quantize_weight(params["weight"], axis=0)
+        out = {"codes": codes, "scales": scales}
+    else:
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
     if "bias" in params:
         out["bias"] = params["bias"]
     return out
 
 
-def quantize_model_linears(params: Params, *, skip=("ln",)) -> Params:
+def quantize_model_linears(params: Params, *, skip=("ln",), bits: int = 8,
+                           group_size: int | None = None) -> Params:
     """Walk a params tree and quantize every Linear-shaped subtree
     ({"weight": 2D, ...}) to int8 weight-only form, skipping subtrees whose
     key contains any of ``skip`` (LayerNorms keep fp params; Embeddings are
@@ -139,6 +161,7 @@ def quantize_model_linears(params: Params, *, skip=("ln",)) -> Params:
         if ("weight" in tree and getattr(tree["weight"], "ndim", 0) == 2
                 and not any(s in name for s in skip)
                 and "embedding" not in name):
-            return quantize_linear_params(tree)
+            return quantize_linear_params(tree, bits=bits,
+                                          group_size=group_size)
         return {k: walk(v, f"{name}.{k}") for k, v in tree.items()}
     return walk(params, "")
