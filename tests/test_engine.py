@@ -265,3 +265,28 @@ def test_chunked_prefill_speculative_engine():
     for c in done:
         exp = greedy_reference(model, params, prompts[c.uid], 5)
         assert c.tokens == exp, (c.uid, c.tokens, exp)
+
+
+def test_prefix_caching_matches_uncached():
+    """set_prefix (shared system prompt) must produce exactly the uncached
+    engine's greedy tokens — including a prompt that IS the bare prefix."""
+    model, params = make_model()
+    prefix = [7, 3, 9, 4, 2, 8, 6]
+    prompts = {1: prefix + [5, 6, 7], 2: prefix + [1], 3: prefix,
+               4: [9, 9, 9]}  # 4: prefix miss -> normal path
+
+    def run(with_prefix):
+        engine = DecodeEngine(
+            model, params, n_slots=2, max_len=64,
+            sampling=SamplingConfig(max_new_tokens=5), prefill_chunk=4)
+        if with_prefix:
+            engine.set_prefix(prefix)
+        for uid, p in prompts.items():
+            engine.submit(Request(uid, p))
+        return {c.uid: c.tokens for c in engine.run()}
+
+    cached, uncached = run(True), run(False)
+    assert cached == uncached
+    for uid, p in prompts.items():
+        exp = greedy_reference(model, params, p, 5)
+        assert cached[uid] == exp, (uid, cached[uid], exp)

@@ -75,6 +75,9 @@ class DecodeEngine:
         if prefill_chunk is not None and prefill_chunk < 1:
             raise ValueError(f"prefill_chunk must be >= 1, "
                              f"got {prefill_chunk}")
+        self._prefix = None          # shared-prefix cache (set_prefix)
+        self._prefix_caches = {}
+        self._prefix_last = None
 
         self.caches = make_caches(model, n_slots, max_len, quant=kv_quant,
                                   compute_dtype=model.cfg.dtype)
@@ -108,6 +111,53 @@ class DecodeEngine:
             self._spec_step = {}  # round width W -> jitted fn
 
     # ------------------------------------------------------------------ API
+    def set_prefix(self, prefix) -> None:
+        """Shared-prefix (system-prompt) caching: prefill ``prefix`` ONCE
+        into a detached 1-slot cache; every admission whose prompt starts
+        with it copies the cached KV (free — arrays are immutable) and
+        prefills only the remainder.  Requires chunked-prefill mode."""
+        if self.prefill_chunk is None:
+            raise ValueError("set_prefix requires prefill_chunk mode "
+                             "(DecodeEngine(prefill_chunk=C))")
+        prefix = list(prefix)
+        if not prefix or len(prefix) >= self.max_len - 1:
+            raise ValueError(f"prefix length {len(prefix)} must be in "
+                             f"[1, max_len-1)")
+        C = self.prefill_chunk
+        self._prefix = prefix
+        self._prefix_caches = {}
+        for is_draft, model, params, attr in self._prefill_targets():
+            quant = getattr(self, attr)[0].quant
+            dtype = getattr(self, attr)[0].compute_dtype
+            sub = make_caches(model, 1, self.max_len, quant=quant,
+                              compute_dtype=dtype)
+            fn = self._get_chunk_prefill(draft=is_draft)
+            n_chunks = -(-len(prefix) // C)
+            for t in range(n_chunks):
+                ids = np.full((C,), self.pad_id, np.int32)
+                seg = prefix[t * C:(t + 1) * C]
+                ids[: len(seg)] = seg
+                logits, sub = fn(params, sub, jnp.asarray(ids),
+                                 jnp.asarray(t * C, jnp.int32))
+            # chunk padding advanced lengths past the true prefix; pin them
+            # back so remainder chunks (and their positions) start exactly
+            # at len(prefix) — the pad rows get overwritten
+            import dataclasses as _dc
+            sub = [_dc.replace(
+                c, lengths=jnp.full_like(c.lengths, len(prefix)))
+                for c in sub]
+            self._prefix_caches[is_draft] = sub
+            if not is_draft:
+                self._prefix_last = logits[
+                    0, (len(prefix) - 1) - (n_chunks - 1) * C]
+
+    def _prefill_targets(self):
+        targets = [(False, self.model, self.params, "caches")]
+        if self.draft_model is not None:
+            targets.append(
+                (True, self.draft_model, self.draft_params, "draft_caches"))
+        return targets
+
     def submit(self, req: Request) -> None:
         self.queue.append(req)
 
@@ -225,28 +275,34 @@ class DecodeEngine:
         final slot scatter cannot race.  Returns the prompt's last-token
         logits."""
         C = self.prefill_chunk
-        n_chunks = -(-len(prompt) // C)
+        prompt = list(prompt)
         onehot = np.zeros((self.n_slots,), bool)
         onehot[slot] = True
         onehot = jnp.asarray(onehot)
         length = jnp.asarray(len(prompt), jnp.int32)
-        targets = [(False, self.model, self.params, "caches")]
-        if self.draft_model is not None:
-            targets.append(
-                (True, self.draft_model, self.draft_params, "draft_caches"))
+        # shared-prefix reuse: skip recomputing a cached system prompt
+        base = 0
+        if (self._prefix is not None
+                and prompt[: len(self._prefix)] == self._prefix):
+            base = len(self._prefix)
+        rest = prompt[base:]
+        n_chunks = -(-len(rest) // C)
         last = None
-        for is_draft, model, params, attr in targets:
-            quant = getattr(self, attr)[0].quant
-            dtype = getattr(self, attr)[0].compute_dtype
-            sub = make_caches(model, 1, self.max_len, quant=quant,
-                              compute_dtype=dtype)
+        for is_draft, model, params, attr in self._prefill_targets():
+            if base:
+                sub = self._prefix_caches[is_draft]   # immutable: free copy
+            else:
+                quant = getattr(self, attr)[0].quant
+                dtype = getattr(self, attr)[0].compute_dtype
+                sub = make_caches(model, 1, self.max_len, quant=quant,
+                                  compute_dtype=dtype)
             fn = self._get_chunk_prefill(draft=is_draft)
             for t in range(n_chunks):
                 ids = np.full((C,), self.pad_id, np.int32)
-                seg = prompt[t * C:(t + 1) * C]
+                seg = rest[t * C:(t + 1) * C]
                 ids[: len(seg)] = seg
                 logits, sub = fn(params, sub, jnp.asarray(ids),
-                                 jnp.asarray(t * C, jnp.int32))
+                                 jnp.asarray(base + t * C, jnp.int32))
                 if not is_draft and t < n_chunks - 1:
                     self.step()          # bound active slots' latency
             # re-read the live caches: the interleaved decode steps above
@@ -254,7 +310,8 @@ class DecodeEngine:
             setattr(self, attr, self._get_scatter()(
                 getattr(self, attr), sub, onehot, length))
             if not is_draft:
-                last = logits[0, (len(prompt) - 1) - (n_chunks - 1) * C]
+                last = (self._prefix_last if n_chunks == 0
+                        else logits[0, (len(rest) - 1) - (n_chunks - 1) * C])
         return last
 
     def admit(self) -> None:
