@@ -149,3 +149,38 @@ def test_async_checkpointer_surfaces_write_errors(tmp_path):
     ckpt.save(str(bad), 0, {"x": jnp.asarray([1.0])})
     with pytest.raises(Exception):
         ckpt.close()
+
+
+def test_roofline_accounting():
+    from tpu_flash.utils.roofline import (Ceiling, attention_bytes,
+                                          decode_attention_bytes, roofline,
+                                          weight_matmul_bytes)
+
+    c = Ceiling("test", tflops=100.0, gbs=1000.0)
+    # pure compute bound: 1e12 FLOPs at 100 TFLOP/s -> 10 ms ideal
+    p = roofline(20.0, 1e12, 1e6, ceiling=c)
+    assert p.bound == "compute"
+    np.testing.assert_allclose(p.ideal_ms, 10.0)
+    np.testing.assert_allclose(p.fraction, 0.5)
+    np.testing.assert_allclose(p.achieved_tflops, 50.0)
+    # pure memory bound: 1e9 bytes at 1000 GB/s -> 1 ms ideal
+    p = roofline(2.0, 1e6, 1e9, ceiling=c)
+    assert p.bound == "memory"
+    np.testing.assert_allclose(p.ideal_ms, 1.0)
+    np.testing.assert_allclose(p.fraction, 0.5)
+    s = p.summary()
+    assert s["bound"] == "memory" and s["ceiling"] == "test"
+
+    # traffic models: simple closed forms
+    np.testing.assert_allclose(attention_bytes(1, 1, 128, 64),
+                               4 * 128 * 64 * 2)
+    np.testing.assert_allclose(
+        attention_bytes(1, 1, 128, 64, fwd_and_bwd=True),
+        12 * 128 * 64 * 2)
+    np.testing.assert_allclose(
+        decode_attention_bytes(2, 8, 1024, 64, cache_bytes=1,
+                               scale_heads=8),
+        2 * 2 * 1024 * 8 * 64 + 2 * 2 * 8 * 1024 * 4)
+    np.testing.assert_allclose(
+        weight_matmul_bytes(32, 256, 512, weight_bytes=0.5),
+        256 * 512 * 0.5 + (32 * 256 + 32 * 512) * 2)
