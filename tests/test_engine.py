@@ -290,3 +290,24 @@ def test_prefix_caching_matches_uncached():
     for uid, p in prompts.items():
         exp = greedy_reference(model, params, p, 5)
         assert cached[uid] == exp, (uid, cached[uid], exp)
+
+
+def test_chunked_prefill_near_max_len_no_clamp_corruption():
+    """Regression (review 2026-08-18): a pad-filled final chunk whose write
+    window crosses max_len used to clamp inside dynamic_update_slice and
+    shift real KV rows.  Prompt of max_len-1 tokens with a non-dividing
+    chunk size must still reproduce the bucketed engine exactly."""
+    model, params = make_model()
+    prompt = [1 + (i % 50) for i in range(31)]       # max_len-1 = 31
+
+    # one generated token: its logits depend on every prompt position's KV
+    def run1(chunk):
+        engine = DecodeEngine(
+            model, params, n_slots=1, max_len=34,
+            sampling=SamplingConfig(max_new_tokens=1), prefill_chunk=chunk)
+        engine.submit(Request(1, prompt))
+        return engine.run()[0].tokens
+
+    exp = greedy_reference(model, params, prompt, 1)
+    for chunk in (5, 7, 31):                          # 31 % 5 = 1 pad-heavy
+        assert run1(chunk) == exp, (chunk, run1(chunk), exp)

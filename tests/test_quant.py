@@ -158,7 +158,8 @@ def test_int4_matmul_groupwise(rng, g):
     M, K, N = 16, 512, 256
     x = rand(rng, (M, K))
     w = rand(rng, (K, N))
-    packed, scales, k_dim = quantize_weight_int4(w, group_size=g)
+    packed, scales, k_dim = quantize_weight_int4(
+        w, group_size=g, allow_small_groups=True)
     assert scales.shape == (K // g, N)
     out = int4_matmul(x, packed, scales, k_dim=K)
     dequant = unpack_int4(packed, K).astype(jnp.float32) * jnp.repeat(
@@ -181,7 +182,8 @@ def test_int4_linear_groupwise_grad(rng):
 
     x = rand(rng, (4, 128))
     w = rand(rng, (128, 96))
-    packed, scales, k_dim = quantize_weight_int4(w, group_size=32)
+    packed, scales, k_dim = quantize_weight_int4(
+        w, group_size=32, allow_small_groups=True)
     qw = QuantizedLinearWeights4(packed, scales, k_dim)
     dequant = unpack_int4(packed, k_dim).astype(jnp.float32) * jnp.repeat(
         scales, 32, axis=0)
@@ -204,7 +206,8 @@ def test_quantized_decoder_int4(rng):
                            n_layer=2, p_dropout=0.0, attention_kind="naive")
     model = nn.DecoderLM(cfg)
     params = model.init(jax.random.key(0))
-    qparams = nn.quantize_model_linears(params, bits=4, group_size=16)
+    qparams = nn.quantize_model_linears(params, bits=4, group_size=16,
+                                        allow_small_groups=True)
     assert "codes4" in qparams["layers"]["0"]["attention"]["q_projection"]
     assert "weight" in qparams["token_embeddings"]
 

@@ -43,6 +43,35 @@ class Completion:
     finished_reason: str    # "eos" | "length"
 
 
+def _scatter_subcaches(caches, subs, slot_onehot, length):
+    """Copy a 1-slot sub-cache list into the slot selected by the one-hot
+    mask, pinning that slot's length.  Sub-caches may be LONGER along the
+    positions axis than the main caches (chunked prefill over-allocates by
+    one chunk so a pad-filled final chunk never clamp-writes at max_len);
+    the extra tail rows are pure padding and are sliced off here."""
+    n_slots = slot_onehot.shape[0]
+
+    def scatter(main, one):
+        def mix(a, b, axis):
+            if a is None:
+                return None
+            if b.shape[axis] != a.shape[axis]:
+                b = jax.lax.slice_in_dim(b, 0, a.shape[axis], axis=axis)
+            shape = (n_slots,) + (1,) * (a.ndim - 1)
+            return jnp.where(slot_onehot.reshape(shape),
+                             b.astype(a.dtype), a)
+
+        return KVCache(
+            mix(main.k, one.k, 1), mix(main.v, one.v, 1),
+            mix(main.k_scale, one.k_scale, 2),
+            mix(main.v_scale, one.v_scale, 2),
+            jnp.where(slot_onehot, length, main.lengths),
+            main.quant, main.compute_dtype,
+            n_head=main.n_head)
+
+    return [scatter(m, o) for m, o in zip(caches, subs)]
+
+
 def _bucket(n: int, buckets=(16, 32, 64, 128, 256, 512, 1024)) -> int:
     for b in buckets:
         if n <= b:
@@ -129,7 +158,9 @@ class DecodeEngine:
         for is_draft, model, params, attr in self._prefill_targets():
             quant = getattr(self, attr)[0].quant
             dtype = getattr(self, attr)[0].compute_dtype
-            sub = make_caches(model, 1, self.max_len, quant=quant,
+            # over-allocate one chunk of positions: a pad-filled final
+            # chunk must never clamp-write at max_len (scatter trims)
+            sub = make_caches(model, 1, self.max_len + C, quant=quant,
                               compute_dtype=dtype)
             fn = self._get_chunk_prefill(draft=is_draft)
             n_chunks = -(-len(prefix) // C)
@@ -199,22 +230,7 @@ class DecodeEngine:
                 last = jnp.take_along_axis(
                     logits, (length - 1)[None, None, None], axis=1)[0, 0]
 
-                def scatter(main, one):
-                    sel = slot_onehot  # [n_slots] bool
-                    def mix(a, b):
-                        if a is None:
-                            return None
-                        shape = (self.n_slots,) + (1,) * (a.ndim - 1)
-                        return jnp.where(sel.reshape(shape), b.astype(a.dtype), a)
-                    return KVCache(
-                        mix(main.k, one.k), mix(main.v, one.v),
-                        mix(main.k_scale, one.k_scale),
-                        mix(main.v_scale, one.v_scale),
-                        jnp.where(sel, length, main.lengths),
-                        main.quant, main.compute_dtype,
-                        n_head=main.n_head)
-
-                caches = [scatter(m, o) for m, o in zip(caches, sub)]
+                caches = _scatter_subcaches(caches, sub, slot_onehot, length)
                 return last, caches
             self._prefill[(draft, bucket)] = jax.jit(prefill)
         return self._prefill[(draft, bucket)]
@@ -238,32 +254,9 @@ class DecodeEngine:
 
     def _get_scatter(self) -> Callable:
         """Jitted copy of a 1-slot sub-cache into the slot selected by a
-        one-hot mask (same mix as the bucketed prefill's epilogue)."""
+        one-hot mask (shared epilogue with the bucketed prefill)."""
         if self._scatter is None:
-            n_slots = self.n_slots
-
-            def scatter_all(caches, subs, slot_onehot, length):
-                def scatter(main, one):
-                    sel = slot_onehot  # [n_slots] bool
-
-                    def mix(a, b):
-                        if a is None:
-                            return None
-                        shape = (n_slots,) + (1,) * (a.ndim - 1)
-                        return jnp.where(sel.reshape(shape),
-                                         b.astype(a.dtype), a)
-
-                    return KVCache(
-                        mix(main.k, one.k), mix(main.v, one.v),
-                        mix(main.k_scale, one.k_scale),
-                        mix(main.v_scale, one.v_scale),
-                        jnp.where(sel, length, main.lengths),
-                        main.quant, main.compute_dtype,
-                        n_head=main.n_head)
-
-                return [scatter(m, o) for m, o in zip(caches, subs)]
-
-            self._scatter = jax.jit(scatter_all)
+            self._scatter = jax.jit(_scatter_subcaches)
         return self._scatter
 
     def _chunked_prefill(self, slot: int, prompt) -> jax.Array:
@@ -294,7 +287,9 @@ class DecodeEngine:
             else:
                 quant = getattr(self, attr)[0].quant
                 dtype = getattr(self, attr)[0].compute_dtype
-                sub = make_caches(model, 1, self.max_len, quant=quant,
+                # over-allocated like set_prefix: the final pad-filled
+                # chunk may write past max_len (scatter trims the tail)
+                sub = make_caches(model, 1, self.max_len + C, quant=quant,
                                   compute_dtype=dtype)
             fn = self._get_chunk_prefill(draft=is_draft)
             for t in range(n_chunks):
@@ -303,8 +298,13 @@ class DecodeEngine:
                 ids[: len(seg)] = seg
                 logits, sub = fn(params, sub, jnp.asarray(ids),
                                  jnp.asarray(base + t * C, jnp.int32))
-                if not is_draft and t < n_chunks - 1:
-                    self.step()          # bound active slots' latency
+                # bound active slots' inter-token latency — but NOT in
+                # speculative mode: a plain step() appends tokens to the
+                # target caches only, and the skipped draft-cache append
+                # would leave the draft's context permanently behind
+                if (not is_draft and t < n_chunks - 1
+                        and self.draft_model is None):
+                    self.step()
             # re-read the live caches: the interleaved decode steps above
             # advanced them since this admission started
             setattr(self, attr, self._get_scatter()(

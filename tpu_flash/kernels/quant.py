@@ -174,7 +174,8 @@ class QuantizedLinearWeights4(NamedTuple):
     bias: jax.Array | None = None
 
 
-def quantize_weight_int4(w: jax.Array, *, group_size: int | None = None
+def quantize_weight_int4(w: jax.Array, *, group_size: int | None = None,
+                         allow_small_groups: bool = False
                          ) -> tuple[jax.Array, jax.Array, int]:
     """Symmetric int4 quantization of a [K, N] weight.
 
@@ -197,6 +198,15 @@ def quantize_weight_int4(w: jax.Array, *, group_size: int | None = None
             raise ValueError(
                 f"group_size={g} requires K % (2*group_size) == 0 (K={K}): "
                 f"the split-half packing needs whole groups per half")
+        if g < 128 and not allow_small_groups:
+            # the grouped kernel contracts exactly one group per dot, and
+            # sub-128 contractions hit the measured Mosaic MXU cliff
+            # (CLAUDE.md: "pad K=64 contractions to 128") — the bandwidth
+            # win would be eaten by compute underutilization on the chip
+            raise ValueError(
+                f"group_size={g} < 128 underutilizes the MXU (one group = "
+                f"one dot contraction); use group_size>=128, or pass "
+                f"allow_small_groups=True for tests/interpret mode")
         wf = w.astype(jnp.float32).reshape(K // g, g, N)
         amax = jnp.max(jnp.abs(wf), axis=1)                   # [K/g, N]
         scales = jnp.where(amax == 0.0, 1.0, amax / 7.0)

@@ -128,7 +128,8 @@ class LayerNorm(Module):
 
 
 def quantize_linear_params(params: Params, *, bits: int = 8,
-                           group_size: int | None = None) -> Params:
+                           group_size: int | None = None,
+                           allow_small_groups: bool = False) -> Params:
     """Convert one Linear's params to int8 (``bits=8``) or packed int4
     (``bits=4``, optional GPTQ-style ``group_size``) weight-only form."""
     if bits == 4:
@@ -137,7 +138,8 @@ def quantize_linear_params(params: Params, *, bits: int = 8,
         g = group_size
         if g is not None and w.shape[0] % (2 * g):
             g = None               # indivisible layer: per-channel fallback
-        codes4, scales, _ = quantize_weight_int4(w, group_size=g)
+        codes4, scales, _ = quantize_weight_int4(
+            w, group_size=g, allow_small_groups=allow_small_groups)
         out = {"codes4": codes4, "scales": scales}
     elif bits == 8:
         codes, scales = quantize_weight(params["weight"], axis=0)
@@ -150,7 +152,8 @@ def quantize_linear_params(params: Params, *, bits: int = 8,
 
 
 def quantize_model_linears(params: Params, *, skip=("ln",), bits: int = 8,
-                           group_size: int | None = None) -> Params:
+                           group_size: int | None = None,
+                           allow_small_groups: bool = False) -> Params:
     """Walk a params tree and quantize every Linear-shaped subtree
     ({"weight": 2D, ...}) to int8 weight-only form, skipping subtrees whose
     key contains any of ``skip`` (LayerNorms keep fp params; Embeddings are
@@ -161,7 +164,8 @@ def quantize_model_linears(params: Params, *, skip=("ln",), bits: int = 8,
         if ("weight" in tree and getattr(tree["weight"], "ndim", 0) == 2
                 and not any(s in name for s in skip)
                 and "embedding" not in name):
-            return quantize_linear_params(tree, bits=bits,
-                                          group_size=group_size)
+            return quantize_linear_params(
+                tree, bits=bits, group_size=group_size,
+                allow_small_groups=allow_small_groups)
         return {k: walk(v, f"{name}.{k}") for k, v in tree.items()}
     return walk(params, "")
