@@ -354,6 +354,11 @@ def main(argv=None):
                    help="save a checkpoint every N epochs (0 disables)")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in the workdir")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler device trace of epoch 0 "
+                        "into <workdir>/profile (open in XProf/TensorBoard "
+                        "for per-kernel timelines and HBM/roofline "
+                        "counters)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh size (batch rows sharded)")
     p.add_argument("--tp", type=int, default=1,
@@ -570,13 +575,28 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
 
     for epoch in range(start_epoch, args.n_epochs):
         key, ekey = jax.random.split(key)
+        profiling = (getattr(args, "profile", False)
+                     and epoch == start_epoch)
+        if profiling:
+            from tpu_flash.utils.profiling import trace
+            trace_cm = trace(os.path.join(os.path.dirname(ckpt_dir),
+                                          "profile"))
+            trace_cm.__enter__()
+            print(json.dumps({"profile": "tracing epoch "
+                                         f"{epoch} -> workdir/profile"}))
         t0 = time.perf_counter()
-        params, opt_state, losses, step_times, step_tokens = train_epoch(
-            model, opt, params, opt_state, dataset["train"], train_collate_fn,
-            batch_size, ekey, n_samples=args.samples_per_epoch,
-            max_iters=args.max_iters_per_epoch, native_loader=native_loader,
-            metrics=metrics, chunked_vocab=args.chunked_loss,
-            ctx=ctx, train_step=train_step)
+        try:
+            params, opt_state, losses, step_times, step_tokens = train_epoch(
+                model, opt, params, opt_state, dataset["train"],
+                train_collate_fn,
+                batch_size, ekey, n_samples=args.samples_per_epoch,
+                max_iters=args.max_iters_per_epoch,
+                native_loader=native_loader,
+                metrics=metrics, chunked_vocab=args.chunked_loss,
+                ctx=ctx, train_step=train_step)
+        finally:
+            if profiling:
+                trace_cm.__exit__(None, None, None)
         epoch_time = time.perf_counter() - t0
         val_loss = evaluate_loss(model, params, dataset["validation"],
                                  collate_fn, batch_size,
