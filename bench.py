@@ -2,12 +2,19 @@
 attention graph on one TPU chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "fw_tflops": N, "bw_tflops": N, "fw_ms": N, "bw_ms": N,
+   "roofline_frac": N, "roofline_ceiling": "..."}
 
 value       = FA2 fw+bw sustained TFLOP/s (causal, bf16, B=4 H=8 L=2048 d=64)
 vs_baseline = speedup over the XLA-fused naive attention graph fw+bw on the
               same chip (the reference project's own headline comparison:
               flash kernels vs its naive attention graph).
+fw/bw       = the two phases measured separately (forward kernel alone;
+              backward = full-grad time minus the forward).
+roofline_frac = achieved fraction of the chip's calibrated roofline for
+              this op's FLOPs+bytes (utils/roofline.py) — the honest
+              headroom number BASELINE.md:28 asks for.
 
 Timing uses chained-scan marginal measurement (utils/timing.py) — naive
 timing loops overlap/elide under async dispatch and measure nothing.
@@ -24,6 +31,8 @@ import numpy as np
 
 def main():
     from tpu_flash import flash_attention, naive_attention
+    from tpu_flash.kernels.flash_attention import flash_attention_forward
+    from tpu_flash.utils.roofline import attention_bytes, roofline
     from tpu_flash.utils.timing import attention_flops, benchmark
 
     B, H, L, d = 4, 8, 2048, 64
@@ -45,18 +54,33 @@ def main():
         return f
 
     flops = attention_flops(B, H, L, d, causal=True, fwd_and_bwd=True)
+    fw_flops = attention_flops(B, H, L, d, causal=True)
     flash = benchmark(
         fwbw(lambda q, k, v: flash_attention(q, k, v, causal=True)),
         q, k, v, name="fa2_fwbw", flops=flops)
+    fw = benchmark(
+        lambda q, k, v: flash_attention_forward(q, k, v, causal=True),
+        q, k, v, name="fa2_fw", flops=fw_flops)
     naive = benchmark(
         fwbw(lambda q, k, v: naive_attention(q, k, v, causal=True)),
         q, k, v, name="naive_fwbw", flops=flops)
+
+    bw_ms = max(flash.mean_ms - fw.mean_ms, 1e-6)
+    bw_tflops = (flops - fw_flops) / (bw_ms * 1e-3) / 1e12
+    point = roofline(flash.mean_ms, flops,
+                     attention_bytes(B, H, L, d, fwd_and_bwd=True))
 
     print(json.dumps({
         "metric": "fa2_fwbw_causal_bf16_L2048_tflops",
         "value": round(flash.tflops, 2),
         "unit": "TFLOP/s",
         "vs_baseline": round(naive.mean_ms / flash.mean_ms, 3),
+        "fw_tflops": round(fw.tflops, 2),
+        "bw_tflops": round(bw_tflops, 2),
+        "fw_ms": round(fw.mean_ms, 4),
+        "bw_ms": round(bw_ms, 4),
+        "roofline_frac": round(point.fraction, 3),
+        "roofline_ceiling": point.ceiling.name,
     }))
 
 

@@ -93,3 +93,58 @@ def test_allgather_matches_ring(rng):
         outs[strategy] = np.asarray(fn(q, k, v))
     np.testing.assert_allclose(outs["allgather"], outs["ring"],
                                atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("strategy", ["allgather", "ring"])
+@pytest.mark.parametrize("window", [40, 96, 200])
+def test_windowed_sp_matches_single_device(rng, strategy, window):
+    """Sliding-window sequence parallelism: window smaller than a chunk
+    (ring truncates to 2 hops), spanning several chunks, and larger than
+    the sequence (degenerates to plain causal) — all must match the
+    single-device windowed flash kernel, forward and grad."""
+    B, H, L, d = 1, 2, 256, 16
+    n_dev = 4                    # L_loc = 64
+    q, k, v, w = (jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+                  for _ in range(4))
+    mesh = _mesh(n_dev)
+    spec = P(None, None, SEQ_AXIS, None)
+
+    ref = flash_attention(q, k, v, causal=True, window=window)
+    fn = _spmd(
+        lambda q, k, v: sequence_parallel_attention(
+            q, k, v, axis_name=SEQ_AXIS, strategy=strategy, window=window),
+        mesh)
+    out = fn(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True,
+                                       window=window) * w)
+
+    def loss_sp(q, k, v):
+        f = jax.shard_map(
+            lambda q, k, v, w: jax.lax.psum(
+                jnp.sum(sequence_parallel_attention(
+                    q, k, v, axis_name=SEQ_AXIS, strategy=strategy,
+                    window=window) * w),
+                SEQ_AXIS),
+            mesh=mesh, in_specs=(spec, spec, spec, spec), out_specs=P(),
+            check_vma=False)
+        return f(q, k, v, w)
+
+    g_ref = jax.jit(jax.grad(loss_ref, (0, 1, 2)))(q, k, v)
+    g_sp = jax.jit(jax.grad(loss_sp, (0, 1, 2)))(q, k, v)
+    for a, b in zip(g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_ring_window_truncates():
+    """With window <= chunk_len the ring stops after 2 hops — the
+    O(window) communication claim, asserted on the schedule itself."""
+    from tpu_flash.parallel.sequence import _window_steps
+    assert _window_steps(8, 64, None) == 8
+    assert _window_steps(8, 64, 64) == 2
+    assert _window_steps(8, 64, 65) == 3
+    assert _window_steps(8, 64, 1024) == 8

@@ -205,3 +205,80 @@ def test_sequence_parallel_matches_single_device(rng):
         parallel.set_parallel_context(None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_multistep_full_composition_matches_single_device(rng):
+    """VERDICT round-1 item 9: N sharded steps with EVERYTHING on at once —
+    module dropout keys, packed batches (segment ids + per-example
+    positions), chunked vocab-parallel loss, ZeRO-1 + mixed precision —
+    pinned against the identical single-device composition step by step.
+    The individual features are tested elsewhere; this pins their
+    composition over time (optimizer state evolution included).
+
+    attn_dropout stays off: the in-kernel hash mask indexes by shard-LOCAL
+    (batch*head) under shard_map, so it is the one feature that cannot be
+    bit-equal across layouts (ops/attention.py NOTE); its plumbing is
+    exercised by test_sharded_flash_attention_dropout_runs."""
+    cfg = nn.DecoderConfig(n_vocab=128, n_embd=64, n_head=8, n_positions=32,
+                           n_layer=2, p_dropout=0.1, attention_kind="flash",
+                           sequence_parallel=True)
+    model = nn.DecoderLM(cfg)
+    opt = nn.mixed_precision(nn.adam(lr=1e-3))
+    ctx = parallel.make_mesh(data=2, model=4)
+
+    def make_loss_fn(loss_ctx):
+        def loss_fn(params, batch, key=None, training=False):
+            hidden = model(params, batch["input_ids"],
+                           segment_ids=batch["segment_ids"],
+                           positions=batch["positions"], key=key,
+                           training=training, return_hidden=True)
+            lm = params["lm_head"]
+            losses = parallel.vocab_parallel_softmax_loss(
+                hidden, lm["weight"], lm.get("bias"), batch["labels"],
+                n_chunks=2, ctx=loss_ctx)
+            return jnp.mean(losses * batch["label_token_weights"])
+        return loss_fn
+
+    B, L = 8, 32
+    seg = np.sort(rng.integers(0, 3, (B, L))).astype(np.int32)
+    pos = np.zeros((B, L), np.int32)
+    for b in range(B):
+        for sid in np.unique(seg[b]):
+            sl = np.where(seg[b] == sid)[0]
+            pos[b, sl] = np.arange(len(sl))
+    raw = make_batch(rng, B=B, L=L)
+    raw["segment_ids"], raw["positions"] = seg, pos
+
+    # sharded: ZeRO-1 (optimizer state sharded over data) on the mesh
+    zparams, zopt_state, _, _ = parallel.init_zero1(
+        ctx, model, opt, jax.random.key(0))
+    batch = parallel.put_batch(ctx, raw)
+    zstep = parallel.make_zero1_train_step(ctx, model, opt,
+                                           make_loss_fn(ctx))
+    sharded_losses = []
+    for i in range(4):
+        zparams, zopt_state, loss = zstep(zparams, zopt_state, batch,
+                                          jax.random.key(i))
+        sharded_losses.append(float(loss))
+    parallel.set_parallel_context(None)
+
+    # single-device oracle: same init/batch/keys, plain jit step
+    p = model.init(jax.random.key(0))
+    o = opt.init(p)
+    oracle_loss_fn = make_loss_fn(None)
+
+    @jax.jit
+    def step1(p, o, batch, key):
+        loss, grads = jax.value_and_grad(oracle_loss_fn)(
+            p, batch, key=key, training=True)
+        p, o = opt.update(grads, o, p)
+        return p, o, loss
+
+    host_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    single_losses = []
+    for i in range(4):
+        p, o, loss = step1(p, o, host_batch, jax.random.key(i))
+        single_losses.append(float(loss))
+
+    np.testing.assert_allclose(sharded_losses, single_losses,
+                               rtol=1e-5, atol=1e-6)

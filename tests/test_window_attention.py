@@ -78,10 +78,10 @@ def test_window_tile_skip(rng):
     """The schedule visits O(L*window) tiles, not O(L^2/2)."""
     from tpu_flash.kernels.flash_attention import _packed_schedule
 
-    im_full, _, _ = _packed_schedule(
+    im_full, *_ = _packed_schedule(
         8, 16, block_q=128, block_k=128, causal=True, q_offset=0,
         kv_len=2048, q_pack=2)
-    im_win, _, _ = _packed_schedule(
+    im_win, *_ = _packed_schedule(
         8, 16, block_q=128, block_k=128, causal=True, q_offset=0,
         kv_len=2048, q_pack=2, window=256)
     assert len(im_win) < len(im_full) / 2

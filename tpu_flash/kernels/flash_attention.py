@@ -62,21 +62,24 @@ from tpu_flash.kernels.common import (
     round_up,
 )
 
-# Measured on v5e (d=64/128, L=2k-8k, causal+dense): the forward prefers two
-# PACKED 512-row Q sub-tiles per grid step against 1024-col KV tiles (42.3 vs
-# 38.9 TFLOP/s for one 1024-row tile: the two independent QK->softmax->PV
-# chains let one half's VPU softmax overlap the other half's MXU dots — see
-# ``q_pack`` below); the fused backward prefers 512x512 (52 vs 46-47 TFLOP/s
-# against 512x1024, stable across 3 interleaved rounds; an earlier sweep
-# recorded the opposite ranking — day-to-day chip variance, re-measure before
-# trusting either).  Packing the backward the same way measured neutral
-# (bench/exp_bw_interleave.py), so it stays single-chain.  Smaller sequences
-# clamp to the (8-aligned) length.
+# Round-2 retune (bench/exp_width_retune.py, headline shape, width-classed
+# kernels): the forward prefers FOUR packed 512-row Q sub-tiles per grid
+# step against 1024-col KV tiles (0.376 ms vs 0.398 for 2x512x1024 — the
+# bigger group means fewer grid steps and 33% fewer KV re-reads, and the
+# software-pipelined chains keep only two fp32 score tiles live, see
+# ``q_pack`` in the kernel); 512x2048 measured 0.371 but with ~2x the
+# scores VMEM — kept as a sweep option, not the default.  The fused
+# backward prefers 512x2048 (0.792 ms vs 0.822 at 512x1024, 0.869 at the
+# round-1 512x512 default): the width classes make wide KV tiles cheap
+# (diagonal pairs run at their live width), so fewer/bigger steps win.
+# Packing the backward measured neutral (bench/exp_bw_interleave.py), so
+# it stays single-chain.  Smaller sequences clamp to the (8-aligned)
+# length.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1024
-DEFAULT_Q_PACK = 2
+DEFAULT_Q_PACK = 4
 DEFAULT_BLOCK_Q_BWD = 512
-DEFAULT_BLOCK_K_BWD = 512
+DEFAULT_BLOCK_K_BWD = 2048
 
 LOG2E = 1.4426950408889634
 # The reference masks by *setting* scores to -1e7 (src/flash_attn_fw.cpp:
@@ -100,15 +103,20 @@ def _dot(a, b, dims):
 
 def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
                    kv_len, kv_outer=False, window=None):
-    """Trace-time schedule of (q_tile, kv_tile) visits.
+    """Trace-time schedule of (q_tile, kv_tile) visits (backward passes).
 
-    Returns int32 numpy arrays ``(imap, jmap, flags)`` where flags packs
-    FIRST (reset accumulators), LAST (write outputs), MASK (tile crosses the
-    causal diagonal or the kv-length boundary; informational — masks are
-    applied unconditionally because a lax.cond around the mask measures far
-    slower than the mask itself) and LIVE (tile contributes;
-    dead tiles appear only as forced visits so every output block is written
-    at least once, and their bodies are skipped entirely).
+    Returns ``(imap, jmap, flags, wmap, widths)``: int32 numpy arrays plus
+    the static tuple of distinct width classes.  flags packs FIRST (reset
+    accumulators), LAST (write outputs), MASK (tile crosses the causal
+    diagonal or the kv-length boundary; informational — masks are applied
+    unconditionally because a lax.cond around the mask measures far slower
+    than the mask itself) and LIVE (tile contributes; dead tiles appear
+    only as forced visits so every output block is written at least once,
+    and their bodies are skipped entirely).  ``wmap[t]`` indexes ``widths``
+    (-1 for dead visits): the static KV-column width this pair computes —
+    tiles the causal diagonal cuts run their dots on the live width class
+    only instead of computing and masking the dead columns (see
+    ``_width_class``).
 
     The schedule is the TPU replacement for both the reference's whole-tile
     causal skip and its dense grid: dead tiles cost nothing — no grid step,
@@ -126,11 +134,34 @@ def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
             return False
         return True
 
+    def width(i, j):
+        if not live(i, j):
+            return 0
+        if window is not None and \
+                j * block_k < q_offset + i * block_q - window + 1:
+            return block_k       # window cuts the left side: no left-trim
+        hi = min(kv_len, (j + 1) * block_k)
+        if causal:
+            hi = min(hi, q_offset + (i + 1) * block_q)
+        return _width_class(hi - j * block_k, block_k)
+
     def needs_mask(i, j):
         need = (j + 1) * block_k > kv_len
         if causal:
             need = need or ((j + 1) * block_k - 1 > q_offset + i * block_q)
         return need
+
+    widths: list[int] = []
+    width_ids: dict[int, int] = {}
+
+    def wid(i, j, forced):
+        if forced:
+            return -1
+        w = width(i, j)
+        if w not in width_ids:
+            width_ids[w] = len(widths)
+            widths.append(w)
+        return width_ids[w]
 
     entries = []
     if kv_outer:
@@ -144,7 +175,7 @@ def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
                     | (_LAST if idx == len(is_) - 1 else 0) \
                     | (0 if forced else _LIVE) \
                     | (_MASK if (not forced and needs_mask(i, j)) else 0)
-                entries.append((i, j, f))
+                entries.append((i, j, f, wid(i, j, forced)))
     else:
         for i in range(num_q):
             js = [j for j in range(num_kv) if live(i, j)]
@@ -156,55 +187,86 @@ def _tile_schedule(num_q, num_kv, *, block_q, block_k, causal, q_offset,
                     | (_LAST if idx == len(js) - 1 else 0) \
                     | (0 if forced else _LIVE) \
                     | (_MASK if (not forced and needs_mask(i, j)) else 0)
-                entries.append((i, j, f))
+                entries.append((i, j, f, wid(i, j, forced)))
     arr = np.asarray(entries, np.int32)
-    return arr[:, 0], arr[:, 1], arr[:, 2]
+    return arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], tuple(widths)
+
+
+def _width_class(live_cols: int, block_k: int) -> int:
+    """Round a live column count up to the block's width-class granularity
+    (quarters of the tile, at least one 128-lane group).  The class system
+    keeps the number of DISTINCT width vectors — and therefore compiled
+    kernel branches — small while recovering most of the causal diagonal
+    waste: a sub-tile whose live range covers only the first quarter/half
+    of the KV tile issues its QK and P·V dots at that width instead of
+    computing (and masking away) the dead columns."""
+    gran = max(LANES, block_k // 4)
+    return min(block_k, round_up(live_cols, gran))
 
 
 def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
                      q_offset, kv_len, q_pack, window=None):
     """Trace-time schedule for the forward: one visit list of
     ``(q_group, kv_tile)`` where a group packs ``q_pack`` consecutive
-    ``block_q``-row sub-tiles.  Flags carry FIRST/LAST (accumulator reset /
-    output write for the group) plus one LIVE bit per sub-tile
-    (``_LIVE << h``), so a KV tile beyond sub-tile h's causal range — or,
-    with ``window``, BEFORE its sliding window — skips that half's compute
-    entirely (the whole-tile analog of Mistral-style local attention).
-    ``q_pack=1`` reduces to the classic per-tile schedule."""
-    def half_live(g, h, j):
+    ``block_q``-row sub-tiles.
+
+    Returns ``(imap, jmap, flags, pat, patterns)``: flags carry FIRST/LAST
+    (accumulator reset / output write for the group); ``pat[t]`` indexes
+    ``patterns``, the static tuple of distinct per-sub-tile width vectors.
+    ``patterns[p][h]`` is the number of KV columns sub-tile h computes on
+    this visit — 0 for a dead sub-tile (beyond the causal range or, with
+    ``window``, entirely behind the sliding window), ``block_k`` for a full
+    tile, and a width class in between for tiles the causal diagonal cuts:
+    the variable-width replacement for computing dead diagonal columns and
+    masking them away (the executed-but-masked dot volume at the headline
+    shape was ~1.4x the counted work).  ``q_pack=1`` reduces to the classic
+    per-tile schedule."""
+    def width(g, h, j):
         if j * block_k >= kv_len:
-            return False
-        if not causal:
-            return True
+            return 0
         first_row = q_offset + (g * q_pack + h) * block_q
         last_row = q_offset + (g * q_pack + h + 1) * block_q - 1
-        if j * block_k > last_row:
-            return False
+        if causal and j * block_k > last_row:
+            return 0              # tile entirely beyond the causal range
         if window is not None and (j + 1) * block_k - 1 <= first_row - window:
-            return False          # tile entirely behind the sliding window
-        return True
+            return 0              # tile entirely behind the sliding window
+        if window is not None and j * block_k < first_row - window + 1:
+            # the window cuts the LEFT side of the tile: no left-trim
+            # support — full width, in-kernel mask handles it
+            return block_k
+        hi = min(kv_len, (j + 1) * block_k)
+        if causal:
+            hi = min(hi, last_row + 1)
+        return _width_class(hi - j * block_k, block_k)
 
     entries = []
+    patterns: list[tuple[int, ...]] = []
+    pattern_ids: dict[tuple[int, ...], int] = {}
+
+    def pat_id(vec):
+        if vec not in pattern_ids:
+            pattern_ids[vec] = len(patterns)
+            patterns.append(vec)
+        return pattern_ids[vec]
+
     for g in range(num_groups):
         js = [j for j in range(num_kv)
-              if any(half_live(g, h, j) for h in range(q_pack))]
+              if any(width(g, h, j) for h in range(q_pack))]
         forced = not js
         if forced:
             js = [0]
         for idx, j in enumerate(js):
             f = (_FIRST if idx == 0 else 0) \
                 | (_LAST if idx == len(js) - 1 else 0)
-            if not forced:
-                for h in range(q_pack):
-                    if half_live(g, h, j):
-                        f |= _LIVE << h
-            entries.append((g, j, f))
+            vec = tuple(0 if forced else width(g, h, j)
+                        for h in range(q_pack))
+            entries.append((g, j, f, pat_id(vec)))
     arr = np.asarray(entries, np.int32)
-    return arr[:, 0], arr[:, 1], arr[:, 2]
+    return arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], tuple(patterns)
 
 
 def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset,
-                window=None, qseg=None, kseg=None):
+                padded_kv=True, window=None, qseg=None, kseg=None):
     """Causal / kv-boundary / sliding-window / segment mask on a base-2
     score tile.
 
@@ -217,18 +279,32 @@ def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset,
     segment-id tiles), rows attend only keys of the SAME segment — the
     packed-sequence (block-diagonal) form used to train on concatenated
     examples without cross-contamination.
+
+    All conditions are merged into ONE boolean keep mask and ONE select:
+    the mask runs on every visited tile (a lax.cond around it measures
+    slower than the mask itself), so each saved per-element VPU op is paid
+    L^2 times.  ``padded_kv=False`` drops the kv-boundary compare entirely
+    when the KV length is block-aligned (causal rows never exceed kv_len:
+    rows <= q_offset + Lq - 1 = Lk - 1; padded Q rows are sliced off by the
+    caller and padded Q rows in the backward contribute zero via dO = 0).
     """
     cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+    keep = None
     if causal:
         rows = q_offset + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, s2.shape, 0)
-        s2 = jnp.where(cols <= rows, s2, MASK2)
+        keep = cols <= rows
         if window is not None:
-            s2 = jnp.where(cols > rows - window, s2, MASK2)
+            keep &= cols > rows - window
+    if padded_kv:
+        bound = cols < kv_len
+        keep = bound if keep is None else keep & bound
     if qseg is not None:
-        s2 = jnp.where(qseg == kseg, s2, MASK2)
-    s2 = jnp.where(cols < kv_len, s2, MASK2)
-    return s2
+        same = qseg == kseg
+        keep = same if keep is None else keep & same
+    if keep is None:
+        return s2
+    return jnp.where(keep, s2, MASK2)
 
 
 def _fold_l(d: int) -> bool:
@@ -239,10 +315,13 @@ def _fold_l(d: int) -> bool:
 
 def _pad_contract(x, d):
     """Zero-pad the minor (contraction) dim of a VMEM tile to a full lane
-    group.  Measured on v5e: a K=64 bf16 contraction runs the MXU at ~53
-    TFLOP/s while K=128 runs at ~154 — padding the contraction with zeros
-    costs 2x the macs yet is ~1.5x faster in wall clock.  The concat is a
-    handful of vreg copies in VMEM (no HBM traffic)."""
+    group.  NO LONGER USED by the attention kernels: round-2 measurement at
+    the exact kernel dot shapes (bench/exp_dot_shapes.py) shows a native
+    K=64 contraction runs at the same wall time as the zero-padded K=128
+    form (92 vs 90 useful TF/s — the MXU charges by ceil(K/128) either
+    way), so the padding concat was pure VMEM-copy overhead.  (The round-1
+    "53 vs 115 TF/s" cliff that motivated it came from isolated-XLA-dot
+    shapes, not the in-kernel ones.)  Kept for reuse by experiments."""
     target = round_up(d, LANES)
     if d == target:
         return x
@@ -250,12 +329,22 @@ def _pad_contract(x, d):
         [x, jnp.zeros((x.shape[0], target - d), x.dtype)], axis=1)
 
 
-def _dequant_tile(codes, scale_ref, dot_dtype):
+def _dequant_tile(codes, scales, dot_dtype):
     """Dequantize an int8/fp8 KV tile in VMEM against per-position scales
     ([bk, 1], broadcast over d) and cast to the dot dtype — the fused-dequant
     form of BASELINE's INT8-KV FA2: codes stream from HBM at 1/2 (1/4 for
-    fp32 training) the bandwidth and fp values never exist outside VMEM."""
-    return (codes.astype(jnp.float32) * scale_ref[0]).astype(dot_dtype)
+    fp32 training) the bandwidth and fp values never exist outside VMEM.
+
+    Unlike the softmax tail (hidden behind a sibling chain's dots), the
+    dequant sits on the CRITICAL PATH between DMA arrival and the MXU dots
+    (bench/exp_int8_breakdown.py: the int8 overhead is all in-kernel, the
+    per-step quantize is ~13 us) — so the bf16 path does one convert and
+    one multiply: int8 codes (integers <= 127) and fp8 codes are exact in
+    bf16, skipping the fp32 round-trip costs only the bf16 rounding of the
+    scale (~0.4%, the same order as storing K/V in bf16 at all)."""
+    if dot_dtype == jnp.bfloat16:
+        return codes.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
+    return (codes.astype(jnp.float32) * scales).astype(dot_dtype)
 
 
 def _ones_col(x):
@@ -297,12 +386,13 @@ def dropout_keep_mask(rows, cols, bh, seed, rate):
 
 
 def _tile_keep_scale(i_tile, j_tile, shape, *, block_q, block_k, bh, seed,
-                     rate):
+                     rate, dtype=jnp.float32):
     """keep/(1-rate) multiplier tile for (q tile, kv tile): 0 where dropped."""
     rows = i_tile * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cols = j_tile * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     keep = dropout_keep_mask(rows, cols, bh, seed, rate)
-    return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+    one = jnp.asarray(1.0 / (1.0 - rate), dtype)
+    return jnp.where(keep, one, jnp.asarray(0.0, dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -310,18 +400,27 @@ def _tile_keep_scale(i_tile, j_tile, shape, *, block_q, block_k, bh, seed,
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(
-    imap_ref, jmap_ref, flags_ref, seed_ref,  # prefetched schedule + seed
+    imap_ref, jmap_ref, flags_ref, pat_ref, seed_ref,  # prefetched schedule
     q_ref, k_ref, v_ref, ks_ref, vs_ref,   # inputs (scales used if quantized)
     qseg_ref, kseg_ref,               # segment ids (dummies if not segmented)
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
-    quantized, q_pack, dropout_rate, window, segmented,
+    quantized, q_pack, dropout_rate, window, segmented, fast_exp, patterns,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)   # hoisted: program_id inside pl.when bodies is
     flags = flags_ref[t]    # not substitutable by the interpreter
+    pat = pat_ref[t]
     fold_l = l_ref is None
+    # bf16 softmax tail: the exp2 (the dominant per-score VPU op) runs on
+    # bf16 vectors — twice the lanes per vreg — and its output feeds the
+    # P·V dot with no further cast.  Worst-case absolute error of
+    # exp2(bf16(x)) vs bf16(exp2(x)) is max_x |2^x * ln2 * x * 2^-8|
+    # ~= 1.4e-3 — the same order as the bf16 rounding of p itself, so
+    # bf16-input parity (~8e-3 vs the fp32 oracle) is unchanged.  fp32
+    # inputs never take this path (exact-parity mode).
+    p_dtype = jnp.bfloat16 if fast_exp else jnp.float32
 
     @pl.when((flags & _FIRST) != 0)
     def _init():
@@ -334,37 +433,39 @@ def _fwd_kernel(
     # once.  (On forced visits — groups with no live sub-tile, scheduled only
     # so the output block gets written — this computes on an arbitrary tile
     # and is discarded; such visits exist only for fully-masked groups.)
-    kt = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
-          else k_ref[0])
-    kp = _pad_contract(kt, d)                       # [bk, d128]
-    vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
+    kt = (_dequant_tile(k_ref[0], ks_ref[0], q_ref.dtype) if quantized
+          else k_ref[0])                            # [bk, d]
+    vt = (_dequant_tile(v_ref[0], vs_ref[0], q_ref.dtype) if quantized
           else v_ref[0])                            # [bk, d]
     v_aug = _ones_col(vt) if fold_l else vt
 
-    def scores(h):
+    def scores(h, w):
         # Fold softmax scale and the base-2 conversion into Q: one cheap
         # [bq, d] multiply instead of per-score work, then bf16 (or input
-        # dtype) dots on the MXU with fp32 accumulation.
+        # dtype) dots on the MXU with fp32 accumulation.  ``w`` is this
+        # sub-tile's static width class: the dot runs on the first w KV
+        # columns only (the rest are dead under the causal diagonal).
         sel = pl.ds(h * block_q, block_q)
         q = (q_ref[0, sel].astype(jnp.float32) * (scale * LOG2E)).astype(
             q_ref.dtype)                            # [bq, d]
-        s2 = _dot(_pad_contract(q, d), kp, ((1,), (1,)))  # [bq, bk]
+        s2 = _dot(q, kt[:w], ((1,), (1,)))          # [bq, w]
         if causal or padded_kv or segmented:
             s2 = _apply_mask(
                 s2, imap_ref[t] * q_pack + h, jmap_ref[t],
                 block_q=block_q, block_k=block_k, causal=causal,
-                kv_len=kv_len, q_offset=q_offset, window=window,
+                kv_len=kv_len, q_offset=q_offset, padded_kv=padded_kv,
+                window=window,
                 qseg=qseg_ref[0, sel] if segmented else None,
-                kseg=kseg_ref[0] if segmented else None)
+                kseg=kseg_ref[0][:, :w] if segmented else None)
         return s2
 
-    def chain(s2, h):
+    def chain(s2, h, w):
         sel = pl.ds(h * block_q, block_q)
         m_prev = m_ref[sel]                         # [bq, 1]
         m_cur = jnp.max(s2, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp2(m_prev - m_new)            # rescale of the old state
-        p = jnp.exp2(s2 - m_new)                    # [bq, bk] fp32
+        p = jnp.exp2((s2 - m_new).astype(p_dtype))  # [bq, w]
 
         if dropout_rate > 0.0:
             # Attention dropout: drop entries of the (normalized) P AFTER
@@ -375,50 +476,47 @@ def _fwd_kernel(
             p_v = p * _tile_keep_scale(
                 imap_ref[t] * q_pack + h, jmap_ref[t], s2.shape,
                 block_q=block_q, block_k=block_k, bh=bh,
-                seed=seed_ref[0], rate=dropout_rate)
+                seed=seed_ref[0], rate=dropout_rate, dtype=p.dtype)
         else:
             p_v = p
         pb = p_v.astype(v_aug.dtype)
         # fold_l: ones column — rowsum(p) rides the same MXU pass.
-        pv = _dot(pb, v_aug, ((1,), (0,)))          # [bq, d(+1)] fp32
+        pv = _dot(pb, v_aug[:w], ((1,), (0,)))      # [bq, d(+1)] fp32
         acc_ref[sel] = acc_ref[sel] * alpha + pv
         if not fold_l:
             l_ref[sel] = (alpha * l_ref[sel]
-                          + jnp.sum(p, axis=-1, keepdims=True))
+                          + jnp.sum(p.astype(jnp.float32), axis=-1,
+                                    keepdims=True))
         m_ref[sel] = m_new
 
-    # One online-softmax chain per packed sub-tile.  The chains are
-    # independent (disjoint accumulator rows); in the common all-live case
-    # EVERY sub-tile's QK dot is issued before the first softmax, so
-    # sub-tile h+1's MXU dots overlap sub-tile h's VPU softmax — the
-    # measured cure for the serialized QK->softmax->PV chain of the
-    # single-tile body.  (Ordering matters: one pl.when per half, each
-    # containing its full dot->softmax->PV chain, measures no faster than
-    # the unpacked kernel.)
-    live = [(flags & (_LIVE << h)) != 0 for h in range(q_pack)]
-    if q_pack == 1:
-        @pl.when(live[0])
-        def _single():
-            chain(scores(0), 0)
-    else:
-        all_live = functools.reduce(jnp.logical_and, live)
+    # One branch per distinct width vector in the schedule (usually 2-3:
+    # the all-full pattern plus the diagonal group's).  Inside a branch,
+    # sub-tile h+1's QK dot is issued before sub-tile h's softmax, so
+    # independent chains' MXU and VPU phases overlap — the measured cure
+    # for the serialized QK->softmax->PV chain of the single-tile body.
+    # (Ordering matters: one pl.when per sub-tile, each containing its full
+    # dot->softmax->PV chain, measures no faster than the unpacked kernel.)
+    # The chains are software-pipelined one step ahead rather than all-dots-
+    # first: at most TWO [bq, bk] fp32 score tiles are ever live, keeping
+    # q_pack=4 within the 16 MB scoped-VMEM limit (all-dots-first OOM'd:
+    # 4 x [512,1024] fp32 = 8 MB of scores alone).  Widths are static per
+    # branch, so the diagonal pattern's dead columns are never computed.
+    for pid, vec in enumerate(patterns):
+        if not any(vec):
+            continue        # forced visit: output write only (epilogue)
 
-        @pl.when(all_live)
-        def _all():
-            tiles = [scores(h) for h in range(q_pack)]
-            for h, s2 in enumerate(tiles):
-                chain(s2, h)
-
-        # Without a window, liveness is monotonic in h (sub-tile h+1 ends on
-        # a later row, so every KV tile live for h is live for h+1): the
-        # only partial states are live suffixes and sub-tile 0 needs no
-        # partial branch.  A sliding window BREAKS this (a lower sub-tile
-        # can attend a tile the upper one has slid past), so every sub-tile
-        # gets a branch then.
-        for h in range(0 if window is not None else 1, q_pack):
-            @pl.when(live[h] & jnp.logical_not(all_live))
-            def _partial(h=h):
-                chain(scores(h), h)
+        @pl.when(pat == pid)
+        def _branch(vec=vec):
+            pending = None
+            for h, w in enumerate(vec):
+                if w == 0:
+                    continue
+                s2 = scores(h, w)
+                if pending is not None:
+                    chain(*pending)
+                pending = (s2, h, w)
+            if pending is not None:
+                chain(*pending)
 
     @pl.when((flags & _LAST) != 0)
     def _epilogue():
@@ -450,7 +548,8 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
-                     "dropout_rate", "window", "interpret"),
+                     "dropout_rate", "window", "q_offset", "fast_exp",
+                     "interpret"),
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -466,9 +565,19 @@ def flash_attention_forward(
     dropout_seed: jax.Array | int = 0,
     window: int | None = None,
     segment_ids: jax.Array | None = None,
+    q_offset: int | None = None,
+    fast_exp: bool | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention forward over [B, H, L, d] inputs.
+
+    ``q_offset`` overrides the causal-diagonal alignment (default
+    ``Lk - Lq``, the bottom-right convention): query row r attends keys
+    ``<= r + q_offset``.  Sequence-parallel ring attention passes the
+    static chunk distance (``dist * chunk_len``) here so a PAST chunk's
+    sliding-window band — keys in ``(r_glob - window, r_glob]`` — maps
+    exactly onto the kernel's causal+window masks and its dead-tile
+    schedule (parallel/sequence.py).
 
     ``segment_ids`` ([B, L] int32, requires Lq == Lk): packed-sequence
     attention — position i attends position j only when their segment ids
@@ -536,7 +645,8 @@ def flash_attention_forward(
     group_q = q_pack * block_q
     pLq, pLk = round_up(Lq, group_q), round_up(Lk, block_k)
     padded_kv = pLk != Lk
-    q_offset = Lk - Lq
+    if q_offset is None:
+        q_offset = Lk - Lq
 
     # Native GQA: the grid runs over QUERY heads; K/V (and scale) index
     # maps fold the flat query-head index onto its KV head, so grouped
@@ -574,23 +684,32 @@ def flash_attention_forward(
         qseg_index = kseg_index = lambda b, t, im, jm, *r: (b // H, 0, 0)
 
     num_groups, num_kv = pLq // group_q, pLk // block_k
-    imap, jmap, flags = _packed_schedule(
+    imap, jmap, flags, patv, patterns = _packed_schedule(
         num_groups, num_kv, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, kv_len=Lk, q_pack=q_pack, window=window)
     # Under dropout the softmax normalizer must sum the UNDROPPED p, so it
     # cannot ride the P·V ones column.
     fold_l = _fold_l(d) and dropout_rate == 0.0
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
+    if fast_exp is None:
+        # Measured neutral-to-slightly-negative at the headline shape
+        # (bench/exp_fast_softmax.py: fw 0.418 -> 0.431 ms, bw 0.860 ->
+        # 0.849): the VPU softmax tail is already fully hidden behind the
+        # MXU dots (bench/exp_fw_ablate.py: mask+exp+max together ~5%), so
+        # halving its width buys nothing.  Kept as an explicit knob for
+        # sweeps; fp32 inputs must never take it (exact-parity mode).
+        fast_exp = False
 
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
         quantized=quantized, q_pack=q_pack, dropout_rate=dropout_rate,
-        window=window, segmented=segmented,
+        window=window, segmented=segmented, fast_exp=fast_exp,
+        patterns=patterns,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B * H, len(imap)),
         in_specs=[
             pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
@@ -614,16 +733,16 @@ def flash_attention_forward(
         ] + ([] if fold_l else [pltpu.VMEM((group_q, 1), jnp.float32)]),
     )
 
-    def kernel_wrapper(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r, ks2_r,
-                       o_r, lse_r, m_r, *scratch):
+    def kernel_wrapper(im, jm, fl, pt, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r,
+                       ks2_r, o_r, lse_r, m_r, *scratch):
         if fold_l:
             acc, m_s = scratch
-            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r, ks2_r,
-                   o_r, lse_r, m_r, acc, m_s, None)
+            kernel(im, jm, fl, pt, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r,
+                   ks2_r, o_r, lse_r, m_r, acc, m_s, None)
         else:
             acc, m_s, l_s = scratch
-            kernel(im, jm, fl, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r, ks2_r,
-                   o_r, lse_r, m_r, acc, m_s, l_s)
+            kernel(im, jm, fl, pt, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r,
+                   ks2_r, o_r, lse_r, m_r, acc, m_s, l_s)
 
     out, lse, m = pl.pallas_call(
         kernel_wrapper,
@@ -637,8 +756,8 @@ def flash_attention_forward(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags), seed_arr,
-      qf, kf, vf, ksf, vsf, qsegf, ksegf)
+    )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags),
+      jnp.asarray(patv), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf)
 
     out = out[:, :Lq].reshape(B, H, Lq, d)
     lse = lse[:, :Lq, 0].reshape(B, H, Lq)
@@ -653,7 +772,7 @@ def flash_attention_forward(
 def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
               block_k, kv_len, padded_kv, q_offset, d,
               dropout_rate=0.0, bh=None, seed=None, window=None,
-              qseg=None, kseg=None):
+              qseg=None, kseg=None, fast_exp=False):
     """Shared backward recompute for one (q, kv) tile pair: returns
     ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
     the three cannot drift apart.  ``p_dv`` is the matrix that left-multiplies
@@ -670,52 +789,61 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
     ``exp2(s - inf) == 0`` guards what would otherwise be ``exp2(+inf)``.
     """
     qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    s2 = _dot(_pad_contract(qs, d), _pad_contract(k, d), ((1,), (1,)))
+    s2 = _dot(qs, k, ((1,), (1,)))
     if causal or padded_kv or qseg is not None:
         s2 = _apply_mask(
             s2, i, j, block_q=block_q, block_k=block_k,
-            causal=causal, kv_len=kv_len, q_offset=q_offset, window=window,
-            qseg=qseg, kseg=kseg)
+            causal=causal, kv_len=kv_len, q_offset=q_offset,
+            padded_kv=padded_kv, window=window, qseg=qseg, kseg=kseg)
     lse2 = jnp.where(jnp.isneginf(lse), jnp.inf, lse * LOG2E)
-    p = jnp.exp2(s2 - lse2)                         # [bq, bk]
-    dp = _dot(_pad_contract(do, d), _pad_contract(v, d), ((1,), (1,)))
+    # fast_exp (bf16 inputs): the whole p/ds tail runs on bf16 vectors —
+    # exp2 at double lanes, and p/ds feed the five MXU dots with no
+    # further cast.  Same error budget as the forward's fast path (the
+    # operands were cast to bf16 for the dots before anyway).
+    p_dtype = jnp.bfloat16 if fast_exp else jnp.float32
+    p = jnp.exp2((s2 - lse2).astype(p_dtype))       # [bq, bk]
+    dp = _dot(do, v, ((1,), (1,)))
     if dropout_rate > 0.0:
+        # The keep mask scales dp BEFORE the delta subtraction
+        # (ds = p ∘ (dP̃ - delta) with dP̃ = (dO Vᵀ)∘M/(1-r)).
         keep_scale = _tile_keep_scale(
             i, j, s2.shape, block_q=block_q, block_k=block_k, bh=bh,
             seed=seed, rate=dropout_rate)
         dp = dp * keep_scale
-        p_dv = p * keep_scale
+        p_dv = p * keep_scale.astype(p_dtype)
     else:
         p_dv = p
-    ds = p * (dp - delta)
+    ds = p * (dp - delta).astype(p_dtype)
     return p_dv, ds
 
 
 def _bwd_dkv_kernel(
-    imap_ref, jmap_ref, flags_ref, seed_ref,
+    imap_ref, jmap_ref, flags_ref, wmap_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate, window, segmented,
+    quantized, dropout_rate, window, segmented, fast_exp, widths,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
     flags = flags_ref[t]
+    wc = wmap_ref[t]
 
     @pl.when((flags & _FIRST) != 0)
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    @pl.when((flags & _LIVE) != 0)
-    def _body():
+    def _body(w):
+        # ``w``: static width class — the first w KV columns of this tile
+        # are live for this Q tile; the dots never touch the rest.
         q, do = q_ref[0], do_ref[0]                 # [bq, d]
-        kt = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
-              else k_ref[0])
-        vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
-              else v_ref[0])
+        kt = (_dequant_tile(k_ref[0, :w], ks_ref[0][:w], q_ref.dtype)
+              if quantized else k_ref[0, :w])
+        vt = (_dequant_tile(v_ref[0, :w], vs_ref[0][:w], q_ref.dtype)
+              if quantized else v_ref[0, :w])
         p, ds = _bwd_p_ds(
             q, kt, vt, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
@@ -724,13 +852,19 @@ def _bwd_dkv_kernel(
             dropout_rate=dropout_rate, bh=bh,
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
-            kseg=kseg_ref[0] if segmented else None)
+            kseg=kseg_ref[0][:, :w] if segmented else None,
+            fast_exp=fast_exp)
         # dV += P^T dO   (ones column: see _ones_col — discarded on store)
-        dv_acc[:] += _dot(p.astype(do.dtype),
-                          _ones_col(do) if aug else do, ((0,), (0,)))
+        dv_acc[0:w] += _dot(p.astype(do.dtype),
+                            _ones_col(do) if aug else do, ((0,), (0,)))
         # dK += dS^T Q  (the tau = scale factor is applied once at the end)
-        dk_acc[:] += _dot(ds.astype(q.dtype),
-                          _ones_col(q) if aug else q, ((0,), (0,)))
+        dk_acc[0:w] += _dot(ds.astype(q.dtype),
+                            _ones_col(q) if aug else q, ((0,), (0,)))
+
+    for ci, w in enumerate(widths):
+        @pl.when(((flags & _LIVE) != 0) & (wc == ci))
+        def _live_body(w=w):
+            _body(w)
 
     @pl.when((flags & _LAST) != 0)
     def _epilogue():
@@ -739,28 +873,28 @@ def _bwd_dkv_kernel(
 
 
 def _bwd_dq_kernel(
-    imap_ref, jmap_ref, flags_ref, seed_ref,
+    imap_ref, jmap_ref, flags_ref, wmap_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dq_ref,
     dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate, window, segmented,
+    quantized, dropout_rate, window, segmented, fast_exp, widths,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
     flags = flags_ref[t]
+    wc = wmap_ref[t]
 
     @pl.when((flags & _FIRST) != 0)
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    @pl.when((flags & _LIVE) != 0)
-    def _body():
-        k = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
-             else k_ref[0])
-        vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
-              else v_ref[0])
+    def _body(w):
+        k = (_dequant_tile(k_ref[0, :w], ks_ref[0][:w], q_ref.dtype)
+             if quantized else k_ref[0, :w])
+        vt = (_dequant_tile(v_ref[0, :w], vs_ref[0][:w], q_ref.dtype)
+              if quantized else v_ref[0, :w])
         _, ds = _bwd_p_ds(
             q_ref[0], k, vt, do_ref[0], lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
@@ -769,10 +903,16 @@ def _bwd_dq_kernel(
             dropout_rate=dropout_rate, bh=bh,
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
-            kseg=kseg_ref[0] if segmented else None)
+            kseg=kseg_ref[0][:, :w] if segmented else None,
+            fast_exp=fast_exp)
         # dQ += dS K  (tau applied once at the end)
         dq_acc[:] += _dot(ds.astype(k.dtype),
                           _ones_col(k) if aug else k, ((1,), (0,)))
+
+    for ci, w in enumerate(widths):
+        @pl.when(((flags & _LIVE) != 0) & (wc == ci))
+        def _live_body(w=w):
+            _body(w)
 
     @pl.when((flags & _LAST) != 0)
     def _epilogue():
@@ -780,13 +920,13 @@ def _bwd_dq_kernel(
 
 
 def _bwd_fused_kernel(
-    imap_ref, jmap_ref, flags_ref, seed_ref,
+    imap_ref, jmap_ref, flags_ref, wmap_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps, quantized, dropout_rate, window, segmented,
+    n_steps, quantized, dropout_rate, window, segmented, fast_exp, widths,
 ):
     """Single-pass backward: dK/dV accumulate per KV tile as in
     ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
@@ -795,10 +935,12 @@ def _bwd_fused_kernel(
     race-free TPU replacement for the reference's ``atomicAdd`` dQ
     (src/flash_attn2_bw.cpp:228) that also skips the entire second pass
     (and its recomputation of S and dP: 5 MXU dots per tile pair instead
-    of 7, plus one less read of Q/K/V/dO)."""
+    of 7, plus one less read of Q/K/V/dO).  Each pair runs its dots at the
+    pair's static width class (see ``_tile_schedule``)."""
     t = pl.program_id(1)
     bh = pl.program_id(0)
     flags = flags_ref[t]
+    wc = wmap_ref[t]
 
     @pl.when(t == 0)
     def _init_dq():
@@ -809,13 +951,12 @@ def _bwd_fused_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    @pl.when((flags & _LIVE) != 0)
-    def _body():
+    def _body(w):
         q, do = q_ref[0], do_ref[0]
-        k = (_dequant_tile(k_ref[0], ks_ref, q_ref.dtype) if quantized
-             else k_ref[0])
-        vt = (_dequant_tile(v_ref[0], vs_ref, q_ref.dtype) if quantized
-              else v_ref[0])
+        k = (_dequant_tile(k_ref[0, :w], ks_ref[0][:w], q_ref.dtype)
+             if quantized else k_ref[0, :w])
+        vt = (_dequant_tile(v_ref[0, :w], vs_ref[0][:w], q_ref.dtype)
+              if quantized else v_ref[0, :w])
         p, ds = _bwd_p_ds(
             q, k, vt, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
@@ -824,14 +965,20 @@ def _bwd_fused_kernel(
             dropout_rate=dropout_rate, bh=bh,
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
-            kseg=kseg_ref[0] if segmented else None)
-        dv_acc[:] += _dot(p.astype(do.dtype),
-                          _ones_col(do) if aug else do, ((0,), (0,)))
-        dk_acc[:] += _dot(ds.astype(q.dtype),
-                          _ones_col(q) if aug else q, ((0,), (0,)))
+            kseg=kseg_ref[0][:, :w] if segmented else None,
+            fast_exp=fast_exp)
+        dv_acc[0:w] += _dot(p.astype(do.dtype),
+                            _ones_col(do) if aug else do, ((0,), (0,)))
+        dk_acc[0:w] += _dot(ds.astype(q.dtype),
+                            _ones_col(q) if aug else q, ((0,), (0,)))
         row0 = pl.multiple_of(imap_ref[t] * block_q, block_q)
         dq_acc[pl.ds(row0, block_q), :] += _dot(
             ds.astype(k.dtype), _ones_col(k) if aug else k, ((1,), (0,)))
+
+    for ci, w in enumerate(widths):
+        @pl.when(((flags & _LIVE) != 0) & (wc == ci))
+        def _live_body(w=w):
+            _body(w)
 
     @pl.when((flags & _LAST) != 0)
     def _epilogue_kv():
@@ -865,7 +1012,8 @@ _FUSED_DQ_VMEM_BUDGET = int(2.5 * 1024 * 1024)
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k",
-                     "dropout_rate", "window", "interpret"),
+                     "dropout_rate", "window", "q_offset", "fast_exp",
+                     "interpret"),
 )
 def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -882,6 +1030,8 @@ def flash_attention_backward(
     dropout_seed: jax.Array | int = 0,
     window: int | None = None,
     segment_ids: jax.Array | None = None,
+    q_offset: int | None = None,
+    fast_exp: bool | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention backward: returns (dq, dk, dv) for [B, H, L, d] inputs.
@@ -908,12 +1058,21 @@ def flash_attention_backward(
         scale = float(1.0 / (d ** 0.5))
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
+    if fast_exp is None:
+        # Measured neutral-to-slightly-negative at the headline shape
+        # (bench/exp_fast_softmax.py: fw 0.418 -> 0.431 ms, bw 0.860 ->
+        # 0.849): the VPU softmax tail is already fully hidden behind the
+        # MXU dots (bench/exp_fw_ablate.py: mask+exp+max together ~5%), so
+        # halving its width buys nothing.  Kept as an explicit knob for
+        # sweeps; fp32 inputs must never take it (exact-parity mode).
+        fast_exp = False
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
     pLq, pLk = round_up(Lq, block_q), round_up(Lk, block_k)
     padded_kv = pLk != Lk
-    q_offset = Lk - Lq
+    if q_offset is None:
+        q_offset = Lk - Lq
 
     # D_i = sum_d dO * O — plain XLA, fused into one pass over dO/O.
     # A cotangent on the logsumexp output folds in exactly here: the lse
@@ -965,7 +1124,7 @@ def flash_attention_backward(
 
     num_q, num_kv = pLq // block_q, pLk // block_k
 
-    kv_imap, kv_jmap, kv_flags = _tile_schedule(
+    kv_imap, kv_jmap, kv_flags, kv_wmap, kv_widths = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, kv_len=Lk, kv_outer=True, window=window)
     aug = _fold_l(d)
@@ -1001,9 +1160,10 @@ def flash_attention_backward(
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
             n_steps=len(kv_imap), quantized=quantized,
             dropout_rate=dropout_rate, window=window, segmented=segmented,
+            fast_exp=fast_exp, widths=kv_widths,
         )
         fused_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=(B * H, len(kv_imap)),
             in_specs=common_in_specs,
             out_specs=kv_out_specs + [
@@ -1028,7 +1188,8 @@ def flash_attention_backward(
             ),
             interpret=interpret,
         )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-          seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf, dof, lsef, deltaf)
+          jnp.asarray(kv_wmap), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf,
+          dof, lsef, deltaf)
         dq = dq[:, :Lq].reshape(B, H, Lq, d)
         dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
         return dq, dk, dv
@@ -1038,10 +1199,10 @@ def flash_attention_backward(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
         quantized=quantized, dropout_rate=dropout_rate, window=window,
-        segmented=segmented,
+        segmented=segmented, fast_exp=fast_exp, widths=kv_widths,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B * H, len(kv_imap)),
         in_specs=common_in_specs,
         out_specs=kv_out_specs,
@@ -1062,9 +1223,10 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-      seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf, dof, lsef, deltaf)
+      jnp.asarray(kv_wmap), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf,
+      dof, lsef, deltaf)
 
-    q_imap, q_jmap, q_flags = _tile_schedule(
+    q_imap, q_jmap, q_flags, q_wmap, q_widths = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, kv_len=Lk, kv_outer=False, window=window)
     dq_kernel = functools.partial(
@@ -1072,10 +1234,10 @@ def flash_attention_backward(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
         quantized=quantized, dropout_rate=dropout_rate, window=window,
-        segmented=segmented,
+        segmented=segmented, fast_exp=fast_exp, widths=q_widths,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B * H, len(q_imap)),
         in_specs=common_in_specs,
         out_specs=[
@@ -1096,7 +1258,8 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(q_imap), jnp.asarray(q_jmap), jnp.asarray(q_flags),
-      seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf, dof, lsef, deltaf)
+      jnp.asarray(q_wmap), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf,
+      dof, lsef, deltaf)
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
     dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))

@@ -66,133 +66,190 @@ def _merge_partials(o1, lse1, o2, lse2):
     return o.astype(o1.dtype), lse
 
 
-def _chunk_partial(q, kv_chunk, rel, *, impl):
-    """Attention partial of local q against one KV chunk.
+def _empty_partial(q):
+    B, H, L, d = q.shape
+    return (jnp.zeros((B, H, L, d), q.dtype),
+            jnp.full((B, H, L), -jnp.inf, jnp.float32))
 
-    ``rel``: +1 = chunk strictly in the past (full attention), 0 = diagonal
-    chunk (local causal), -1 = future chunk (skip).  Runtime value; all three
-    branches have static shapes so this lowers to a ``lax.switch``.
+
+def _dist_partial(q, k, v, dist, is_past, *, impl, window, chunk_len):
+    """Attention partial of local q against the KV chunk ``dist`` chunks in
+    the past (``dist`` is STATIC — the ring/all-gather loops are python
+    loops over distance, so every branch gets the kernel's static schedule).
+
+    dist == 0 is the diagonal chunk (local causal + window); dist > 0 is a
+    past chunk, expressed as causal with ``q_offset = dist * chunk_len`` —
+    the offset makes the causal test vacuously true (no masks in the
+    schedule, same cost as the non-causal kernel) while the window band, if
+    any, lands exactly on the right global columns.  ``is_past`` (runtime
+    bool) guards devices for which this distance wraps into the future.
     """
-    k, v = kv_chunk
+    if dist == 0:
+        return _attention_with_lse(q, k, v, causal=True, impl=impl,
+                                   window=window)
 
-    def full(q, k, v):
-        return _attention_with_lse(q, k, v, causal=False, impl=impl)
-
-    def diag(q, k, v):
-        return _attention_with_lse(q, k, v, causal=True, impl=impl)
+    def past(q, k, v):
+        return _attention_with_lse(q, k, v, causal=True, impl=impl,
+                                   window=window,
+                                   q_offset=dist * chunk_len)
 
     def skip(q, k, v):
-        B, H, L, d = q.shape
-        return (jnp.zeros((B, H, L, d), q.dtype),
-                jnp.full((B, H, L), -jnp.inf, jnp.float32))
+        return _empty_partial(q)
 
-    return jax.lax.switch(rel + 1, (skip, diag, full), q, k, v)
+    return jax.lax.cond(is_past, past, skip, q, k, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _attn_lse_pallas(q, k, v, causal):
-    out, lse, _ = flash_attention_forward(q, k, v, causal=causal)
+def _window_steps(n, chunk_len, window):
+    """Number of ring hops / distances with any in-window key: with a
+    sliding window the ring TRUNCATES — chunks older than
+    ceil(window / chunk_len) hops are behind every row's window, so neither
+    their compute nor their communication happens at all."""
+    if window is None:
+        return n
+    return min(n, -(-window // chunk_len) + 1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attn_lse_pallas(q, k, v, causal, window, q_offset):
+    out, lse, _ = flash_attention_forward(
+        q, k, v, causal=causal, window=window, q_offset=q_offset)
     return out, lse
 
 
-def _attn_lse_fwd(q, k, v, causal):
-    out, lse, _ = flash_attention_forward(q, k, v, causal=causal)
+def _attn_lse_fwd(q, k, v, causal, window, q_offset):
+    out, lse, _ = flash_attention_forward(
+        q, k, v, causal=causal, window=window, q_offset=q_offset)
     return (out, lse), (q, k, v, out, lse)
 
 
-def _attn_lse_bwd(causal, residuals, cots):
+def _attn_lse_bwd(causal, window, q_offset, residuals, cots):
     do, dlse = cots
     q, k, v, out, lse = residuals
     # The lse cotangent from the online-softmax merge folds into the same
     # backward kernels via a shifted D (see flash_attention_backward).
     dq, dk, dv = flash_attention_backward(
-        q, k, v, out, lse, do, dlse, causal=causal)
+        q, k, v, out, lse, do, dlse, causal=causal, window=window,
+        q_offset=q_offset)
     return dq, dk, dv
 
 
 _attn_lse_pallas.defvjp(_attn_lse_fwd, _attn_lse_bwd)
 
 
-def _attention_with_lse(q, k, v, *, causal, impl):
+def _attention_with_lse(q, k, v, *, causal, impl, window=None, q_offset=None):
     """(out, lse) of one chunk — differentiable (including through lse).
 
-    The pallas path needs a custom VJP that accepts the lse cotangent; the
-    "reference"/"xla" paths are pure jnp and differentiate natively.
+    ``q_offset``/``window``: the banded-mask form for windowed ring chunks
+    (see flash_attention_forward).  The pallas path needs a custom VJP that
+    accepts the lse cotangent; the "reference"/"xla" paths are pure jnp and
+    differentiate natively.
     """
     if impl == "pallas":
-        return _attn_lse_pallas(q, k, v, causal)
+        return _attn_lse_pallas(q, k, v, causal, window, q_offset)
+    from tpu_flash.ops import reference as _ref
     from tpu_flash.ops.attention import _forward_impl
-    out, lse, _ = _forward_impl(q, k, v, causal, impl)
+    if window is None and q_offset is None:
+        out, lse, _ = _forward_impl(q, k, v, causal, impl)
+        return out, lse
+    # dense oracle form with explicit offset/window band
+    off = (k.shape[-2] - q.shape[-2]) if q_offset is None else q_offset
+    scale = _ref.default_scale(q.shape[-1])
+    sc = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                    k.astype(jnp.float32)) * scale
+    rows = jnp.arange(q.shape[-2])[:, None] + off
+    cols = jnp.arange(k.shape[-2])[None, :]
+    keep = cols <= rows
+    if window is not None:
+        keep &= cols > rows - window
+    sc = jnp.where(keep, sc, -jnp.inf)
+    lse = jax.scipy.special.logsumexp(sc, axis=-1)
+    emptyrow = jnp.isneginf(lse)
+    probs = jnp.where(emptyrow[..., None], 0.0,
+                      jnp.exp(sc - jnp.where(emptyrow, 0.0, lse)[..., None]))
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs,
+                     v.astype(jnp.float32)).astype(q.dtype)
     return out, lse
 
 
-def allgather_attention(q, k, v, *, axis_name: str, impl: str = "pallas"):
+def allgather_attention(q, k, v, *, axis_name: str, impl: str = "pallas",
+                        window: int | None = None):
     """Causal flash attention with the sequence sharded over ``axis_name``.
 
     Call inside ``jax.shard_map``; q, k, v are the local [B, H, L_loc, d]
     shards of a global causal attention over L_glob = L_loc * axis_size.
-    K/V are all-gathered (tiled, one collective), then each past chunk is
-    processed with the non-causal kernel, the diagonal chunk with the local
-    causal kernel, and future chunks are skipped.
+    K/V are all-gathered (tiled, one collective), then each device merges
+    the partials of its in-range chunk DISTANCES (static python loop: the
+    diagonal runs the local causal kernel, past chunks the offset-causal
+    form — see _dist_partial).  ``window``: global sliding-window
+    attention; distances beyond the window are never computed.
     """
     n = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
+    Lc = q.shape[-2]
     # [n, B, H, L_loc, d] — chunk c is the KV shard of device c.
     kg = jax.lax.all_gather(k, axis_name, axis=0, tiled=False)
     vg = jax.lax.all_gather(v, axis_name, axis=0, tiled=False)
 
     out = jnp.zeros_like(q)
     lse = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
-    for c in range(n):
-        rel = jnp.sign(my - c)  # +1 past, 0 diagonal, -1 future
-        o_c, lse_c = _chunk_partial(q, (kg[c], vg[c]), rel, impl=impl)
+    for dist in range(_window_steps(n, Lc, window)):
+        src = jnp.maximum(my - dist, 0)
+        kc = jax.lax.dynamic_index_in_dim(kg, src, axis=0, keepdims=False)
+        vc = jax.lax.dynamic_index_in_dim(vg, src, axis=0, keepdims=False)
+        o_c, lse_c = _dist_partial(q, kc, vc, dist, my >= dist, impl=impl,
+                                   window=window, chunk_len=Lc)
         out, lse = _merge_partials(out, lse, o_c, lse_c)
     return out
 
 
-def ring_attention(q, k, v, *, axis_name: str, impl: str = "pallas"):
+def ring_attention(q, k, v, *, axis_name: str, impl: str = "pallas",
+                   window: int | None = None):
     """Ring flash attention: memory O(L_local), one ICI hop per step.
 
     Call inside ``jax.shard_map`` with q, k, v sequence-sharded over
-    ``axis_name`` (global causal attention).  At step s each device holds the
-    KV chunk of device (my - s) mod n and merges its partial; the next
-    chunk travels one hop concurrently with the compute.
+    ``axis_name`` (global causal attention).  At step s each device holds
+    the KV chunk of device (my - s) mod n — a STATIC distance s in the past
+    for every non-wrapped device — and merges its partial; the next chunk
+    travels one hop concurrently with the compute.
+
+    ``window``: global sliding-window attention.  The ring TRUNCATES at
+    ceil(window / L_local) + 1 hops (older chunks are behind every row's
+    window), so long-context windowed training communicates and computes
+    O(window), not O(L_global), per device.
     """
     n = jax.lax.axis_size(axis_name)
     my = jax.lax.axis_index(axis_name)
+    Lc = q.shape[-2]
     perm = [(i, (i + 1) % n) for i in range(n)]  # send to the right
+    steps = _window_steps(n, Lc, window)
 
     out = jnp.zeros_like(q)
     lse = jnp.full(q.shape[:-1], -jnp.inf, jnp.float32)
     k_cur, v_cur = k, v
-    for s in range(n):
-        # Chunk currently held came from device (my - s) mod n.
-        src = (my - s) % n
-        if s + 1 < n:
+    for s in range(steps):
+        if s + 1 < steps:
             # Launch the next hop before computing so XLA can overlap the
             # ppermute with the flash kernel below.
             k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
             v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
-        if s == 0:
-            # The local chunk is always the diagonal: static fast path.
-            o_c, lse_c = _attention_with_lse(
-                q, k_cur, v_cur, causal=True, impl=impl)
-        else:
-            rel = jnp.sign(my - src)  # +1 past chunk, -1 future chunk
-            o_c, lse_c = _chunk_partial(q, (k_cur, v_cur), rel, impl=impl)
+        # Devices with my < s hold a wrapped (future) chunk: skip.
+        o_c, lse_c = _dist_partial(q, k_cur, v_cur, s, my >= s, impl=impl,
+                                   window=window, chunk_len=Lc)
         out, lse = _merge_partials(out, lse, o_c, lse_c)
-        if s + 1 < n:
+        if s + 1 < steps:
             k_cur, v_cur = k_nxt, v_nxt
     return out
 
 
 def sequence_parallel_attention(
     q, k, v, *, axis_name: str, strategy: str = "allgather",
-    impl: str = "pallas",
+    impl: str = "pallas", window: int | None = None,
 ):
     """Dispatch helper: ``strategy`` in {"allgather", "ring"}."""
     if strategy == "allgather":
-        return allgather_attention(q, k, v, axis_name=axis_name, impl=impl)
+        return allgather_attention(q, k, v, axis_name=axis_name, impl=impl,
+                                   window=window)
     if strategy == "ring":
-        return ring_attention(q, k, v, axis_name=axis_name, impl=impl)
+        return ring_attention(q, k, v, axis_name=axis_name, impl=impl,
+                              window=window)
     raise ValueError(f"unknown sequence-parallel strategy: {strategy}")
