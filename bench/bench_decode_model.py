@@ -61,17 +61,23 @@ def main():
         tok0 = jnp.asarray(rng.integers(0, cfg.n_vocab, (B,)), jnp.int32)
 
         def decode_n(params, caches, tok):
-            """NTOK greedy tokens for every slot inside one jit."""
+            """NTOK greedy tokens for every slot inside one jit.
+
+            Returns a FLOAT aggregate that depends on every step's logits:
+            the timing harness chains iterations through float output
+            leaves, and an int32-only output lets XLA dead-code the whole
+            decode (measured: "0.000 ms/step")."""
             def body(carry, _):
-                caches, tok = carry
+                caches, tok, acc = carry
                 positions = caches[0].lengths[:, None]
                 logits, caches = model(params, tok[:, None],
                                        kv_caches=caches, positions=positions)
                 nxt = jnp.argmax(logits[:, 0, :], axis=-1).astype(jnp.int32)
-                return (caches, nxt), nxt
-            (caches, tok), toks = jax.lax.scan(
-                body, (caches, tok), None, length=NTOK)
-            return toks
+                acc = acc + jnp.sum(logits[:, 0, :].astype(jnp.float32))
+                return (caches, nxt, acc), nxt
+            (caches, tok, acc), toks = jax.lax.scan(
+                body, (caches, tok, jnp.float32(0.0)), None, length=NTOK)
+            return acc, toks
 
         r = benchmark(decode_n, params, caches, tok0,
                       name=f"decode[{quant}]")

@@ -281,6 +281,12 @@ def flash_decode_attention(
     while (2 * cap) * 2 * HD * itemsize <= VMEM_TILE_BUDGET \
             and cap < (1 << 20):
         cap *= 2
+    if jnp.dtype(k_cache.dtype) == jnp.float8_e4m3fn:
+        # Mosaic's fp8->compute-dtype cast stages through fp32: the fp8
+        # tile budget (itemsize 1) undercounts its dequant temps ~4x and
+        # OOM'd scoped vmem by 240K at HD=1024/block_s=1024 (int8's
+        # direct cast fits).  Halve the tile for fp8 caches.
+        cap = max(128, cap // 2)
     block_s = min(block_s, cap)
     block_s = min(block_s, round_up(S, 128))
     pS = round_up(S, block_s)

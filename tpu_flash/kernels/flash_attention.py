@@ -329,24 +329,6 @@ def _pad_contract(x, d):
         [x, jnp.zeros((x.shape[0], target - d), x.dtype)], axis=1)
 
 
-def _dequant_tile(codes, scales, dot_dtype):
-    """Dequantize an int8/fp8 KV tile in VMEM against per-position scales
-    ([bk, 1], broadcast over d) and cast to the dot dtype — the fused-dequant
-    form of BASELINE's INT8-KV FA2: codes stream from HBM at 1/2 (1/4 for
-    fp32 training) the bandwidth and fp values never exist outside VMEM.
-
-    Unlike the softmax tail (hidden behind a sibling chain's dots), the
-    dequant sits on the CRITICAL PATH between DMA arrival and the MXU dots
-    (bench/exp_int8_breakdown.py: the int8 overhead is all in-kernel, the
-    per-step quantize is ~13 us) — so the bf16 path does one convert and
-    one multiply: int8 codes (integers <= 127) and fp8 codes are exact in
-    bf16, skipping the fp32 round-trip costs only the bf16 rounding of the
-    scale (~0.4%, the same order as storing K/V in bf16 at all)."""
-    if dot_dtype == jnp.bfloat16:
-        return codes.astype(jnp.bfloat16) * scales.astype(jnp.bfloat16)
-    return (codes.astype(jnp.float32) * scales).astype(dot_dtype)
-
-
 def _ones_col(x):
     """Append a ones column: an N=64-output MXU dot measures ~67 TFLOP/s on
     v5e but N=65 measures ~117, so dots whose outputs are [*, d=64]
@@ -429,15 +411,27 @@ def _fwd_kernel(
         if not fold_l:
             l_ref[:] = jnp.zeros_like(l_ref)
 
-    # The KV tile is shared by every packed Q sub-tile: dequantize/augment it
-    # once.  (On forced visits — groups with no live sub-tile, scheduled only
-    # so the output block gets written — this computes on an arbitrary tile
+    # The KV tile is shared by every packed Q sub-tile: prepare it once.
+    # (On forced visits — groups with no live sub-tile, scheduled only so
+    # the output block gets written — this computes on an arbitrary tile
     # and is discarded; such visits exist only for fully-masked groups.)
-    kt = (_dequant_tile(k_ref[0], ks_ref[0], q_ref.dtype) if quantized
-          else k_ref[0])                            # [bk, d]
-    vt = (_dequant_tile(v_ref[0], vs_ref[0], q_ref.dtype) if quantized
-          else v_ref[0])                            # [bk, d]
-    v_aug = _ones_col(vt) if fold_l else vt
+    if quantized:
+        # Quantized KV arrives d-MAJOR ([d, bk] codes): full int8 tiles
+        # (min int8 tile is 32x128 — the d-minor [bk, 64] form left every
+        # tile half-populated) and long contiguous DMA rows (the d-minor
+        # form streamed 64-BYTE rows, which is where the round-1 int8
+        # overhead lived — bench/exp_int8_layout.py).  The critical path
+        # between DMA arrival and the MXU is ONE int8->bf16 convert; the
+        # per-position scales fold onto the already-hidden VPU side
+        # (scores x kscale, p x vscale) instead of dequantizing operands.
+        kt = k_ref[0].astype(q_ref.dtype)           # [d, bk] codes
+        vt = v_ref[0].astype(q_ref.dtype)           # [d, bk] codes
+        kscale = ks_ref[0]                          # [1, bk] fp32
+        vscale = vs_ref[0]                          # [1, bk] fp32
+    else:
+        kt = k_ref[0]                               # [bk, d]
+        vt = v_ref[0]                               # [bk, d]
+        v_aug = _ones_col(vt) if fold_l else vt
 
     def scores(h, w):
         # Fold softmax scale and the base-2 conversion into Q: one cheap
@@ -448,7 +442,11 @@ def _fwd_kernel(
         sel = pl.ds(h * block_q, block_q)
         q = (q_ref[0, sel].astype(jnp.float32) * (scale * LOG2E)).astype(
             q_ref.dtype)                            # [bq, d]
-        s2 = _dot(q, kt[:w], ((1,), (1,)))          # [bq, w]
+        if quantized:
+            s2 = _dot(q, kt[:, :w], ((1,), (0,)))   # [bq, w] code-space
+            s2 = s2 * kscale[:, :w]                 # per-key dequant scale
+        else:
+            s2 = _dot(q, kt[:w], ((1,), (1,)))      # [bq, w]
         if causal or padded_kv or segmented:
             s2 = _apply_mask(
                 s2, imap_ref[t] * q_pack + h, jmap_ref[t],
@@ -479,9 +477,14 @@ def _fwd_kernel(
                 seed=seed_ref[0], rate=dropout_rate, dtype=p.dtype)
         else:
             p_v = p
-        pb = p_v.astype(v_aug.dtype)
-        # fold_l: ones column — rowsum(p) rides the same MXU pass.
-        pv = _dot(pb, v_aug[:w], ((1,), (0,)))      # [bq, d(+1)] fp32
+        if quantized:
+            # vscale folds into p (hidden VPU side); codes feed the MXU raw
+            pb = (p_v * vscale[:, :w].astype(p_v.dtype)).astype(vt.dtype)
+            pv = _dot(pb, vt[:, :w], ((1,), (1,)))  # [bq, d] fp32
+        else:
+            pb = p_v.astype(v_aug.dtype)
+            # fold_l: ones column — rowsum(p) rides the same MXU pass.
+            pv = _dot(pb, v_aug[:w], ((1,), (0,)))  # [bq, d(+1)] fp32
         acc_ref[sel] = acc_ref[sel] * alpha + pv
         if not fold_l:
             l_ref[sel] = (alpha * l_ref[sel]
@@ -548,8 +551,8 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
-                     "dropout_rate", "window", "q_offset", "fast_exp",
-                     "interpret"),
+                     "dropout_rate", "window", "q_offset", "kv_layout",
+                     "fast_exp", "interpret"),
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -566,6 +569,7 @@ def flash_attention_forward(
     window: int | None = None,
     segment_ids: jax.Array | None = None,
     q_offset: int | None = None,
+    kv_layout: str = "ld",
     fast_exp: bool | None = None,
     interpret: bool | None = None,
 ):
@@ -593,8 +597,13 @@ def flash_attention_forward(
 
     ``k``/``v`` may be int8 (or fp8) codes with per-position fp32 scales
     ``k_scale``/``v_scale`` of shape [B, H, Lk] — the quantized-KV training
-    form: codes stream from HBM at reduced bandwidth and are dequantized
-    against their scales in VMEM (see ``_dequant_tile``).
+    form: codes stream from HBM at half (bf16) bandwidth, the kernel casts
+    them once and folds the scales into the scores / softmax probabilities
+    (the hidden VPU side — see the kernel comments).  The kernel consumes
+    codes d-MAJOR ([B, H, d, Lk], full int8 tiles + long DMA rows); pass
+    ``kv_layout="dl"`` if they are already transposed (the custom-vjp
+    training path does this once for both fw and bw), otherwise the default
+    ``"ld"`` ([B, H, Lk, d], same as unquantized) is transposed here.
 
     ``dropout_rate``/``dropout_seed``: in-kernel attention dropout on the
     softmax probabilities (keep prob 1-rate, kept entries scaled by
@@ -623,14 +632,17 @@ def flash_attention_forward(
         raise ValueError(f"query heads ({H}) must be a multiple of KV "
                          f"heads ({Hkv})")
     g = H // Hkv                 # GQA group size (1 = MHA)
-    Lk = k.shape[-2]
+    quantized = k_scale is not None
+    if kv_layout not in ("ld", "dl"):
+        raise ValueError(f"kv_layout must be 'ld' or 'dl', got {kv_layout!r}")
+    transposed_in = quantized and kv_layout == "dl"
+    Lk = k.shape[-1] if transposed_in else k.shape[-2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
     if window is not None and not causal:
         raise ValueError("window requires causal=True")
-    quantized = k_scale is not None
     segmented = segment_ids is not None
-    if segmented and Lq != k.shape[-2]:
+    if segmented and Lq != Lk:
         raise ValueError("segment_ids requires Lq == Lk (packed training)")
 
     block_q = min(block_q, round_up(Lq, 8))
@@ -640,6 +652,11 @@ def flash_attention_forward(
         # the fold_l shapes) and the VPU softmax is a large fraction of the
         # chain; at full-width d=128 it measured ~neutral-to-negative.
         q_pack = DEFAULT_Q_PACK if _fold_l(d) else 1
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        # Exact-fp32 dots (Precision.HIGHEST) carry multi-pass operand
+        # splits in scoped VMEM: the pack-4 group OOM'd at 22.27M scoped
+        # vmem (L=8192 fp32); two chains fit everywhere measured.
+        q_pack = min(q_pack, 2)
     if round_up(Lq, block_q) // block_q < q_pack:
         q_pack = 1                    # single Q tile: nothing to pack
     group_q = q_pack * block_q
@@ -656,14 +673,27 @@ def flash_attention_forward(
         return (bh // H) * Hkv + (bh % H) // g
 
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
-    kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
-    vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
     if quantized:
-        ksf = pad_to(k_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
-        vsf = pad_to(v_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
-        scale_block = (1, block_k, 1)
-        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
+        # d-major codes (see the kernel comment): [B*Hkv, d, pLk] int8/fp8
+        # + [B*Hkv, 1, pLk] scales (pad scales with 1.0 — padded columns
+        # are masked, but 0-scales would poison reciprocal paths).
+        if transposed_in:
+            kdl, vdl = k.reshape(B * Hkv, d, Lk), v.reshape(B * Hkv, d, Lk)
+        else:
+            kdl = k.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
+            vdl = v.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
+        kf, vf = pad_to(kdl, 2, pLk), pad_to(vdl, 2, pLk)
+        kv_block = (1, d, block_k)
+        kv_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+        vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+        scale_block = (1, 1, block_k)
+        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
     else:
+        kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
+        vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
+        kv_block = (1, block_k, d)
+        kv_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
         ksf = vsf = jnp.ones((B * Hkv, 1, 1), jnp.float32)
         scale_block = (1, 1, 1)
         scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, 0)
@@ -688,8 +718,10 @@ def flash_attention_forward(
         num_groups, num_kv, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, kv_len=Lk, q_pack=q_pack, window=window)
     # Under dropout the softmax normalizer must sum the UNDROPPED p, so it
-    # cannot ride the P·V ones column.
-    fold_l = _fold_l(d) and dropout_rate == 0.0
+    # cannot ride the P·V ones column; under quantized KV the PV operand is
+    # raw codes (scales folded into p), so an exact ones column cannot ride
+    # either — l falls back to the (hidden-VPU) rowsum.
+    fold_l = _fold_l(d) and dropout_rate == 0.0 and not quantized
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
     if fast_exp is None:
         # Measured neutral-to-slightly-negative at the headline shape
@@ -713,10 +745,8 @@ def flash_attention_forward(
         grid=(B * H, len(imap)),
         in_specs=[
             pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-            pl.BlockSpec((1, block_k, d),
-                         lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
-            pl.BlockSpec((1, block_k, d),
-                         lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
+            pl.BlockSpec(kv_block, kv_index),
+            pl.BlockSpec(kv_block, kv_index),
             pl.BlockSpec(scale_block, scale_index),
             pl.BlockSpec(scale_block, scale_index),
             pl.BlockSpec(qseg_block, qseg_index),
@@ -772,7 +802,8 @@ def flash_attention_forward(
 def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
               block_k, kv_len, padded_kv, q_offset, d,
               dropout_rate=0.0, bh=None, seed=None, window=None,
-              qseg=None, kseg=None, fast_exp=False):
+              qseg=None, kseg=None, fast_exp=False,
+              kscale=None, vscale=None):
     """Shared backward recompute for one (q, kv) tile pair: returns
     ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
     the three cannot drift apart.  ``p_dv`` is the matrix that left-multiplies
@@ -789,7 +820,13 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
     ``exp2(s - inf) == 0`` guards what would otherwise be ``exp2(+inf)``.
     """
     qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    s2 = _dot(qs, k, ((1,), (1,)))
+    if kscale is not None:
+        # quantized: k/v are d-major RAW code tiles [d, w]; the per-key
+        # dequant scales fold into the scores / dp (hidden VPU side) —
+        # see the forward kernel's layout comment.
+        s2 = _dot(qs, k, ((1,), (0,))) * kscale
+    else:
+        s2 = _dot(qs, k, ((1,), (1,)))
     if causal or padded_kv or qseg is not None:
         s2 = _apply_mask(
             s2, i, j, block_q=block_q, block_k=block_k,
@@ -802,7 +839,10 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
     # operands were cast to bf16 for the dots before anyway).
     p_dtype = jnp.bfloat16 if fast_exp else jnp.float32
     p = jnp.exp2((s2 - lse2).astype(p_dtype))       # [bq, bk]
-    dp = _dot(do, v, ((1,), (1,)))
+    if vscale is not None:
+        dp = _dot(do, v, ((1,), (0,))) * vscale
+    else:
+        dp = _dot(do, v, ((1,), (1,)))
     if dropout_rate > 0.0:
         # The keep mask scales dp BEFORE the delta subtraction
         # (ds = p ∘ (dP̃ - delta) with dP̃ = (dO Vᵀ)∘M/(1-r)).
@@ -840,12 +880,15 @@ def _bwd_dkv_kernel(
         # ``w``: static width class — the first w KV columns of this tile
         # are live for this Q tile; the dots never touch the rest.
         q, do = q_ref[0], do_ref[0]                 # [bq, d]
-        kt = (_dequant_tile(k_ref[0, :w], ks_ref[0][:w], q_ref.dtype)
-              if quantized else k_ref[0, :w])
-        vt = (_dequant_tile(v_ref[0, :w], vs_ref[0][:w], q_ref.dtype)
-              if quantized else v_ref[0, :w])
+        if quantized:
+            kq = k_ref[0][:, :w].astype(q_ref.dtype)    # [d, w] raw codes
+            vq = v_ref[0][:, :w].astype(q_ref.dtype)
+            kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
+        else:
+            kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
+            kscale = vscale = None
         p, ds = _bwd_p_ds(
-            q, kt, vt, do, lse_ref[0], delta_ref[0],
+            q, kq, vq, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
@@ -853,7 +896,7 @@ def _bwd_dkv_kernel(
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
-            fast_exp=fast_exp)
+            fast_exp=fast_exp, kscale=kscale, vscale=vscale)
         # dV += P^T dO   (ones column: see _ones_col — discarded on store)
         dv_acc[0:w] += _dot(p.astype(do.dtype),
                             _ones_col(do) if aug else do, ((0,), (0,)))
@@ -891,12 +934,15 @@ def _bwd_dq_kernel(
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
     def _body(w):
-        k = (_dequant_tile(k_ref[0, :w], ks_ref[0][:w], q_ref.dtype)
-             if quantized else k_ref[0, :w])
-        vt = (_dequant_tile(v_ref[0, :w], vs_ref[0][:w], q_ref.dtype)
-              if quantized else v_ref[0, :w])
+        if quantized:
+            kq = k_ref[0][:, :w].astype(q_ref.dtype)    # [d, w] raw codes
+            vq = v_ref[0][:, :w].astype(q_ref.dtype)
+            kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
+        else:
+            kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
+            kscale = vscale = None
         _, ds = _bwd_p_ds(
-            q_ref[0], k, vt, do_ref[0], lse_ref[0], delta_ref[0],
+            q_ref[0], kq, vq, do_ref[0], lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
@@ -904,10 +950,20 @@ def _bwd_dq_kernel(
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
-            fast_exp=fast_exp)
+            fast_exp=fast_exp, kscale=kscale, vscale=vscale)
         # dQ += dS K  (tau applied once at the end)
-        dq_acc[:] += _dot(ds.astype(k.dtype),
-                          _ones_col(k) if aug else k, ((1,), (0,)))
+        # dQ (dequant space) = (dS ∘ kscale) · codes^T; the augmented
+        # ones ROW keeps the N=65 output geometry (column discarded).
+        if quantized:
+            dsk = (ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+            kq_op = (jnp.concatenate(
+                [kq, jnp.ones((1, kq.shape[1]), kq.dtype)], axis=0)
+                if aug else kq)                     # [d(+1), w]
+            dq_upd = _dot(dsk, kq_op, ((1,), (1,)))
+        else:
+            dq_upd = _dot(ds.astype(kq.dtype),
+                          _ones_col(kq) if aug else kq, ((1,), (0,)))
+        dq_acc[:] += dq_upd
 
     for ci, w in enumerate(widths):
         @pl.when(((flags & _LIVE) != 0) & (wc == ci))
@@ -953,12 +1009,15 @@ def _bwd_fused_kernel(
 
     def _body(w):
         q, do = q_ref[0], do_ref[0]
-        k = (_dequant_tile(k_ref[0, :w], ks_ref[0][:w], q_ref.dtype)
-             if quantized else k_ref[0, :w])
-        vt = (_dequant_tile(v_ref[0, :w], vs_ref[0][:w], q_ref.dtype)
-              if quantized else v_ref[0, :w])
+        if quantized:
+            kq = k_ref[0][:, :w].astype(q_ref.dtype)    # [d, w] raw codes
+            vq = v_ref[0][:, :w].astype(q_ref.dtype)
+            kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
+        else:
+            kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
+            kscale = vscale = None
         p, ds = _bwd_p_ds(
-            q, k, vt, do, lse_ref[0], delta_ref[0],
+            q, kq, vq, do, lse_ref[0], delta_ref[0],
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
@@ -966,14 +1025,24 @@ def _bwd_fused_kernel(
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
-            fast_exp=fast_exp)
+            fast_exp=fast_exp, kscale=kscale, vscale=vscale)
         dv_acc[0:w] += _dot(p.astype(do.dtype),
                             _ones_col(do) if aug else do, ((0,), (0,)))
         dk_acc[0:w] += _dot(ds.astype(q.dtype),
                             _ones_col(q) if aug else q, ((0,), (0,)))
         row0 = pl.multiple_of(imap_ref[t] * block_q, block_q)
-        dq_acc[pl.ds(row0, block_q), :] += _dot(
-            ds.astype(k.dtype), _ones_col(k) if aug else k, ((1,), (0,)))
+        # dQ (dequant space) = (dS ∘ kscale) · codes^T; the augmented
+        # ones ROW keeps the N=65 output geometry (column discarded).
+        if quantized:
+            dsk = (ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+            kq_op = (jnp.concatenate(
+                [kq, jnp.ones((1, kq.shape[1]), kq.dtype)], axis=0)
+                if aug else kq)                     # [d(+1), w]
+            dq_upd = _dot(dsk, kq_op, ((1,), (1,)))
+        else:
+            dq_upd = _dot(ds.astype(kq.dtype),
+                          _ones_col(kq) if aug else kq, ((1,), (0,)))
+        dq_acc[pl.ds(row0, block_q), :] += dq_upd
 
     for ci, w in enumerate(widths):
         @pl.when(((flags & _LIVE) != 0) & (wc == ci))
@@ -1012,8 +1081,8 @@ _FUSED_DQ_VMEM_BUDGET = int(2.5 * 1024 * 1024)
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k",
-                     "dropout_rate", "window", "q_offset", "fast_exp",
-                     "interpret"),
+                     "dropout_rate", "window", "q_offset", "kv_layout",
+                     "fast_exp", "interpret"),
 )
 def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -1031,6 +1100,7 @@ def flash_attention_backward(
     window: int | None = None,
     segment_ids: jax.Array | None = None,
     q_offset: int | None = None,
+    kv_layout: str = "ld",
     fast_exp: bool | None = None,
     interpret: bool | None = None,
 ):
@@ -1053,7 +1123,11 @@ def flash_attention_backward(
         raise ValueError(f"query heads ({H}) must be a multiple of KV "
                          f"heads ({Hkv})")
     g = H // Hkv
-    Lk = k.shape[-2]
+    quantized = k_scale is not None
+    if kv_layout not in ("ld", "dl"):
+        raise ValueError(f"kv_layout must be 'ld' or 'dl', got {kv_layout!r}")
+    transposed_in = quantized and kv_layout == "dl"
+    Lk = k.shape[-1] if transposed_in else k.shape[-2]
     if scale is None:
         scale = float(1.0 / (d ** 0.5))
     if window is not None and not causal:
@@ -1069,7 +1143,41 @@ def flash_attention_backward(
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
-    pLq, pLk = round_up(Lq, block_q), round_up(Lk, block_k)
+    if jnp.dtype(q.dtype).itemsize >= 4:
+        # fp32 HIGHEST-precision dots hold multi-pass operand splits in
+        # scoped VMEM on top of the fp32 score-chain temps — the wide
+        # bf16-tuned KV tile does not fit (d=128 fp32 at bk=1024 still
+        # demanded 18.53M); 512 is the round-1-proven fp32 tile.
+        block_k = min(block_k, 512)
+    pLq = round_up(Lq, block_q)
+
+    # The fused single-pass kernel's scoped-VMEM footprint grows with BOTH
+    # the KV tile (score-chain temps, dk/dv accumulators) and the sequence
+    # (full-sequence dq scratch + double-buffered dq output).  The wide
+    # default block_k (fastest at the headline shape) blows the 16 MB limit
+    # once pLq grows — L=8192 with block_k=2048 demanded 21.75M — so clamp
+    # block_k until the modeled footprint fits; if it cannot fit even at
+    # 512 the pLq budget below will push to the two-pass form (whose
+    # per-step footprint has no full-sequence terms).
+    ib = jnp.dtype(q.dtype).itemsize
+    dwf = d + 1 if _fold_l(d) else d
+
+    def _fused_footprint(bk):
+        return (2 * block_q * bk * 4        # two live fp32 score-chain tiles
+                + 2 * bk * dwf * 4          # dk/dv accumulators
+                + pLq * dwf * 4             # full-sequence dq scratch
+                + 2 * pLq * d * ib          # double-buffered dq output block
+                + 4 * bk * d * ib           # double-buffered K/V tiles
+                + 4 * block_q * d * ib)     # double-buffered Q/dO tiles
+
+    _FUSED_VMEM_CAP = 14 * 1024 * 1024
+    maybe_fused = pLq * dwf * 4 <= (
+        _FUSED_DQ_VMEM_BUDGET // (2 if ib >= 4 else 1))
+    if maybe_fused:
+        while block_k > 512 and _fused_footprint(block_k) > _FUSED_VMEM_CAP:
+            block_k //= 2
+
+    pLk = round_up(Lk, block_k)
     padded_kv = pLk != Lk
     if q_offset is None:
         q_offset = Lk - Lq
@@ -1089,18 +1197,28 @@ def flash_attention_backward(
         return (bh // H) * Hkv + (bh % H) // g
 
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
-    kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
-    vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
     dof = pad_to(do.reshape(B * H, Lq, d), 1, pLq)
     lsef = pad_to(lse.reshape(B * H, Lq, 1), 1, pLq)
     deltaf = pad_to(delta.reshape(B * H, Lq, 1), 1, pLq)
-    quantized = k_scale is not None
     if quantized:
-        ksf = pad_to(k_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
-        vsf = pad_to(v_scale.reshape(B * Hkv, Lk, 1), 1, pLk)
-        scale_block = (1, block_k, 1)
-        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
+        # d-major codes + scale rows — see the forward entry comment.
+        if transposed_in:
+            kdl, vdl = k.reshape(B * Hkv, d, Lk), v.reshape(B * Hkv, d, Lk)
+        else:
+            kdl = k.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
+            vdl = v.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
+        kf, vf = pad_to(kdl, 2, pLk), pad_to(vdl, 2, pLk)
+        kv_block = (1, d, block_k)
+        kv_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+        vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+        scale_block = (1, 1, block_k)
+        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
     else:
+        kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
+        vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
+        kv_block = (1, block_k, d)
+        kv_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
         ksf = vsf = jnp.ones((B * Hkv, 1, 1), jnp.float32)
         scale_block = (1, 1, 1)
         scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, 0)
@@ -1129,17 +1247,12 @@ def flash_attention_backward(
         q_offset=q_offset, kv_len=Lk, kv_outer=True, window=window)
     aug = _fold_l(d)
     dw = d + 1 if aug else d
-    budget = _FUSED_DQ_VMEM_BUDGET
-    if jnp.dtype(q.dtype).itemsize >= 4:
-        budget //= 2     # fp32 tiles/output double the non-scratch footprint
-    fused = pLq * dw * 4 <= budget
+    fused = maybe_fused and _fused_footprint(block_k) <= _FUSED_VMEM_CAP
 
     common_in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        pl.BlockSpec((1, block_k, d),
-                     lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
-        pl.BlockSpec((1, block_k, d),
-                     lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
         pl.BlockSpec(scale_block, scale_index),
         pl.BlockSpec(scale_block, scale_index),
         pl.BlockSpec(qseg_block, qseg_index),

@@ -63,16 +63,19 @@ def _flash_attention_quantkv_fwd(q, k, v, seed, seg, causal, dropout_rate,
                                  mode, window):
     """Quantized-KV flash attention (BASELINE's INT8-KV FA2 fw+bw): K/V are
     quantized to int8 codes + per-position scales, BOTH the forward and the
-    backward recompute consume the codes (dequant fused in VMEM,
-    kernels/flash_attention._dequant_tile), and the saved residuals hold the
-    int8 codes — halving (bf16) or quartering (fp32) the attention
-    residual memory for long-context training.  Gradients for k/v are
+    backward recompute consume the codes (cast once in VMEM with the scales
+    folded into scores/probabilities — see the kernel's d-major layout
+    comment), and the saved residuals hold the int8 codes — halving (bf16)
+    or quartering (fp32) the attention residual memory for long-context
+    training.  Codes are transposed to the kernel's d-major layout ONCE
+    here and reused by the backward.  Gradients for k/v are
     straight-through (w.r.t. the dequantized values)."""
     kc, ks = _quantize_kv(k, mode)
     vc, vs = _quantize_kv(v, mode)
+    kc, vc = kc.transpose(0, 1, 3, 2), vc.transpose(0, 1, 3, 2)
     out, lse, _ = flash_attention_forward(
         q, kc, vc, ks, vs, causal=causal, dropout_rate=dropout_rate,
-        dropout_seed=seed, window=window, segment_ids=seg)
+        dropout_seed=seed, window=window, segment_ids=seg, kv_layout="dl")
     return out, (q, kc, ks, vc, vs, out, lse, seed, seg)
 
 
@@ -81,7 +84,7 @@ def _flash_attention_quantkv_bwd(causal, dropout_rate, mode, window, res, do):
     dq, dk, dv = flash_attention_backward(
         q, kc, vc, out, lse, do, None, ks, vs, causal=causal,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        segment_ids=seg)
+        segment_ids=seg, kv_layout="dl")
     return dq, dk, dv, _seed_cotangent(seed), _seg_cotangent(seg)
 
 
