@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_flash.utils.timing import benchmark
 
-M, HD, BS, STEPS = 16, 1024, 1024, 8
+M, HD, BS, STEPS = 16, 1024, 1024, 8   # one [BS, HD] tile per grid step
 
 
 def _fp8_bits_to_bf16(codes_i8):
@@ -43,33 +43,36 @@ def make(mode):
     cdt = jnp.int8 if mode in ("int8", "fp8-bits") else jnp.float8_e4m3fn
 
     def kernel(q_ref, k_ref, o_ref):
-        acc = jnp.zeros((M, BS), jnp.float32)
-        for r in range(STEPS):
-            kt = k_ref[r]
-            if mode == "int8":
-                kb = kt.astype(jnp.bfloat16)
-            elif mode == "fp8":
-                kb = kt.astype(jnp.bfloat16)
-            elif mode == "fp8-f32":
-                kb = kt.astype(jnp.float32).astype(jnp.bfloat16)
-            elif mode == "fp8-bits":
-                kb = _fp8_bits_to_bf16(kt)
-            acc += jax.lax.dot_general(
-                q_ref[0], kb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-        o_ref[:] = acc.astype(o_ref.dtype)
+        kt = k_ref[0]
+        if mode == "int8":
+            kb = kt.astype(jnp.bfloat16)
+        elif mode == "fp8":
+            kb = kt.astype(jnp.bfloat16)
+        elif mode == "fp8-f32":
+            kb = kt.astype(jnp.float32).astype(jnp.bfloat16)
+        elif mode == "fp8-bits":
+            kb = _fp8_bits_to_bf16(kt)
+        s = jax.lax.dot_general(
+            q_ref[0], kb, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[:] = jnp.zeros_like(o_ref)
+        o_ref[:] += s.astype(o_ref.dtype)
 
     @jax.jit
     def run(q, k):
         return pl.pallas_call(
             kernel,
-            grid=(8,),
+            grid=(STEPS,),
             in_specs=[
                 pl.BlockSpec((1, M, HD), lambda i: (0, 0, 0)),
-                pl.BlockSpec((STEPS, BS, HD), lambda i: (0, 0, 0)),
+                pl.BlockSpec((1, BS, HD), lambda i: (i, 0, 0)),
             ],
             out_specs=pl.BlockSpec((M, BS), lambda i: (0, 0)),
-            out_shape=jax.ShapeDtypeStruct((M, BS), jnp.bfloat16),
+            out_shape=jax.ShapeDtypeStruct((M, BS), jnp.float32),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary",),
             ),

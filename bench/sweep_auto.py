@@ -3,10 +3,11 @@
 nn/transformer.py's ``attention_kind="auto"`` switch was calibrated in
 round 1 from exactly two data points (L=256/d=32 and L=2048/d=64); this
 sweep measures the fw+bw causal crossover over a grid so the
-``_FLASH_AUTO_MIN_LD`` constant is table-backed (VERDICT item 8).
+``_FLASH_AUTO_MIN_L`` constant is table-backed (VERDICT item 8).
 
-Batch*heads is held at 32 (the auto rule keys on per-head work L*d, and
-B/H are grid-parallel — see bench/sweep_bhd.py for the equivalence check).
+Batch*heads is held at 32 (B/H are grid-parallel — see bench/sweep_bhd.py
+for the equivalence check).  Outcome: the crossover is a function of L
+alone (fixed ~50 us flash floor at small L), so the auto rule keys on L.
 
 Run:  python -m bench.sweep_auto
 """

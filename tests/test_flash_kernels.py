@@ -262,3 +262,75 @@ def test_fp8_kv_attention_fwd_bwd(rng):
     for a, b in zip(gq, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_q_offset_override_matches_shifted_causal(rng):
+    """q_offset=k (static override) must equal attention where query row r
+    attends keys <= r + k — the banded form windowed ring chunks use."""
+    from tpu_flash.kernels.flash_attention import (
+        flash_attention_backward, flash_attention_forward)
+    B, H, L, d, off = 1, 2, 128, 32, 64
+    q, k, v, do = (jnp.asarray(rng.standard_normal((B, H, L, d)),
+                               jnp.float32) for _ in range(4))
+
+    def oracle(q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / d ** 0.5
+        rows = jnp.arange(L)[:, None] + off
+        cols = jnp.arange(L)[None, :]
+        s = jnp.where(cols <= rows, s, -1e7)
+        return jax.nn.softmax(s, -1) @ v
+
+    with jax.default_matmul_precision("highest"):
+        out, lse, _ = flash_attention_forward(
+            q, k, v, causal=True, q_offset=off, block_q=64, block_k=64)
+        ref = oracle(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+        gr = jax.grad(lambda *a: jnp.sum(oracle(*a) * do), (0, 1, 2))(q, k, v)
+        gf = flash_attention_backward(
+            q, k, v, out, lse, do, causal=True, q_offset=off,
+            block_q=64, block_k=64)
+        for a, b in zip(gf, gr):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4)
+
+    # with a window on top: band (r + off - w, r + off]
+    w = 96
+    with jax.default_matmul_precision("highest"):
+        out2, _, _ = flash_attention_forward(
+            q, k, v, causal=True, q_offset=off, window=w,
+            block_q=64, block_k=64)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / d ** 0.5
+        rows = jnp.arange(L)[:, None] + off
+        cols = jnp.arange(L)[None, :]
+        keep = (cols <= rows) & (cols > rows - w)
+        s = jnp.where(keep, s, -1e7)
+        ref2 = jax.nn.softmax(s, -1) @ v
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_kv_layout_dl_matches_ld(rng):
+    """Pre-transposed d-major quantized codes (kv_layout='dl', the training
+    custom-vjp path) must match the default 'ld' entry bit for bit."""
+    from tpu_flash.kernels.flash_attention import (
+        flash_attention_backward, flash_attention_forward)
+    from tpu_flash.ops.attention import _quantize_kv
+    B, H, L, d = 1, 2, 192, 64
+    q, k, v, do = (jnp.asarray(rng.standard_normal((B, H, L, d)),
+                               jnp.float32) for _ in range(4))
+    kc, ks = _quantize_kv(k, "int8")
+    vc, vs = _quantize_kv(v, "int8")
+    o1, lse1, _ = flash_attention_forward(q, kc, vc, ks, vs, causal=True)
+    o2, lse2, _ = flash_attention_forward(
+        q, kc.transpose(0, 1, 3, 2), vc.transpose(0, 1, 3, 2), ks, vs,
+        causal=True, kv_layout="dl")
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(lse1), np.asarray(lse2))
+    g1 = flash_attention_backward(q, kc, vc, o1, lse1, do, None, ks, vs,
+                                  causal=True)
+    g2 = flash_attention_backward(
+        q, kc.transpose(0, 1, 3, 2), vc.transpose(0, 1, 3, 2), o2, lse2,
+        do, None, ks, vs, causal=True, kv_layout="dl")
+    for a, b in zip(g1, g2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

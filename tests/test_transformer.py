@@ -184,7 +184,7 @@ def test_auto_attention_kind_matches_flash_and_naive(rng, monkeypatch):
 
     # Put the threshold between the two L values so both dispatch branches
     # (naive below, flash at/above) are exercised.
-    monkeypatch.setattr(tr, "_FLASH_AUTO_MIN_LD", 32 * 16)
+    monkeypatch.setattr(tr, "_FLASH_AUTO_MIN_L", 32)
     for L in (16, 32):
         cfg_auto = nn.DecoderConfig(
             n_vocab=64, n_embd=32, n_head=2, n_positions=64, n_layer=1,

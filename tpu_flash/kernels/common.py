@@ -31,6 +31,35 @@ def round_up(x: int, m: int) -> int:
     return cdiv(x, m) * m
 
 
+def fp8_e4m3_to_bf16(codes: jax.Array) -> jax.Array:
+    """float8_e4m3fn -> bfloat16 via integer bit reconstruction.
+
+    Mosaic's native fp8 cast stages through fp32 and runs ~8.5x slower
+    than the int8 cast (bench/exp_fp8_convert.py: astype 0.110 ms vs this
+    path 0.016 on a [1024,1024] tile — it made fp8 decode 4x slower than
+    int8).  e4m3 normals map exactly: bf16_bits = (s<<15) | (em<<4) +
+    0x3C00 (exponent re-bias 7 -> 127 shifted into the bf16 field);
+    subnormals (|v| < 2^-6, bottom ~1.5% of the code range) flush to zero
+    — below the e4m3 quantization step of any realistically-scaled cache,
+    and the kernels' parity tolerances absorb it.  Works identically in
+    interpret mode (plain lax ops).
+    """
+    x = jax.lax.bitcast_convert_type(codes, jnp.int8).astype(jnp.int32) & 0xFF
+    sign = (x & 0x80) << 8
+    em = x & 0x7F
+    bits = jnp.where(em >= 8, sign | ((em << 4) + 0x3C00), sign)
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
+
+
+def cast_codes(codes: jax.Array, dtype) -> jax.Array:
+    """Cast int8/fp8 quantization codes to a compute dtype, routing fp8
+    through the fast bit reconstruction above."""
+    if codes.dtype == jnp.float8_e4m3fn:
+        out = fp8_e4m3_to_bf16(codes)
+        return out if dtype == jnp.bfloat16 else out.astype(dtype)
+    return codes.astype(dtype)
+
+
 def pad_to(x: jax.Array, axis: int, target: int, fill=0) -> jax.Array:
     """Pad `axis` of x up to length `target` with `fill` (no-op if already
     there)."""

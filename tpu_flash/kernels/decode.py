@@ -71,6 +71,7 @@ from tpu_flash.kernels.common import (
     MASK_VALUE,
     default_interpret,
     round_up,
+    cast_codes,
 )
 
 # 1024-key tiles = 1-4 MB contiguous DMAs; big enough to stream at full
@@ -140,8 +141,8 @@ def _decode_kernel(
         prec = (jax.lax.Precision.HIGHEST if cd == jnp.float32
                 else jax.lax.Precision.DEFAULT)
         qbd = qbd_ref[0]                            # [M, HD]
-        k = k_ref[0].astype(cd)                     # [bs, HD]
-        v = v_ref[0].astype(cd)
+        k = cast_codes(k_ref[0], cd)                # [bs, HD]
+        v = cast_codes(v_ref[0], cd)
 
         s = jax.lax.dot_general(
             qbd, k, (((1,), (1,)), ((), ())),
@@ -282,10 +283,10 @@ def flash_decode_attention(
             and cap < (1 << 20):
         cap *= 2
     if jnp.dtype(k_cache.dtype) == jnp.float8_e4m3fn:
-        # Mosaic's fp8->compute-dtype cast stages through fp32: the fp8
-        # tile budget (itemsize 1) undercounts its dequant temps ~4x and
-        # OOM'd scoped vmem by 240K at HD=1024/block_s=1024 (int8's
-        # direct cast fits).  Halve the tile for fp8 caches.
+        # The fp8 bit-reconstruction (common.fp8_e4m3_to_bf16) holds int32
+        # temps over the tile: the itemsize-1 budget undercounts them (the
+        # old astype path staged through fp32 and OOM'd scoped vmem at
+        # HD=1024/block_s=1024).  Halve the tile for fp8 caches.
         cap = max(128, cap // 2)
     block_s = min(block_s, cap)
     block_s = min(block_s, round_up(S, 128))

@@ -20,14 +20,26 @@ src/flash_attn_bw.cpp in pdrebello/flash-attention-minitorch):
 TPU-specific performance structure (the parts that differ from a CUDA
 translation):
 
-* **Packed tile schedule.**  Instead of a dense rectangular grid with
-  in-kernel skips (the reference's ``-DCAUSAL_BLOCKSPARSE`` whole-tile skip,
-  src/flash_attn_fw.cpp:88-92 — which on TPU would still burn a pipeline
-  step + DMA per dead tile), the live (q_tile, kv_tile) pairs are enumerated
-  at trace time and streamed through a ``PrefetchScalarGridSpec``: the grid
-  is exactly the live tiles, and the prefetched index maps steer the block
-  DMAs.  Causal attention therefore does ~half the grid steps of the dense
-  version, and KV padding tiles are never visited at all.
+* **Packed, variable-width tile schedule.**  Instead of a dense rectangular
+  grid with in-kernel skips (the reference's ``-DCAUSAL_BLOCKSPARSE``
+  whole-tile skip, src/flash_attn_fw.cpp:88-92 — which on TPU would still
+  burn a pipeline step + DMA per dead tile), the live (q_tile, kv_tile)
+  pairs are enumerated at trace time and streamed through a
+  ``PrefetchScalarGridSpec``: the grid is exactly the live tiles, the
+  prefetched index maps steer the block DMAs, and every sub-tile the causal
+  diagonal cuts carries a static WIDTH CLASS so its dots run on the live
+  columns only (round 1 computed-and-masked the dead columns — 1.4x the
+  counted dot volume at B4 H8 L2048 d64).  Causal attention therefore does
+  ~half the grid steps of the dense version at ~the counted dot volume, and
+  KV padding tiles are never visited at all.
+
+* **Software-pipelined packed chains.**  Each forward grid step carries
+  ``q_pack`` independent Q sub-tile chains with sub-tile h+1's QK dot
+  issued before sub-tile h's softmax, so VPU and MXU phases of neighboring
+  chains overlap (the VPU softmax is ~fully hidden — measured ~5% of the
+  forward, bench/exp_fw_ablate.py) while only two fp32 score tiles stay
+  live in VMEM.  Bigger groups also cut KV re-reads (each KV tile serves
+  ``q_pack`` sub-tiles per fetch) and grid steps (~1.3 us fixed cost each).
 
 * **exp2 softmax.**  ``softmax_scale * log2(e)`` is folded into Q once per
   tile, the online softmax runs in base 2 (the VPU's native exponent), and
@@ -35,8 +47,21 @@ translation):
 
 * **``l`` rides the MXU.**  For head dims where ``d+1`` stays within the
   same 128-lane group, V is augmented with a ones column so the softmax
-  normalizer comes out of the P·V matmul for free (the MXU pass is already
-  half-empty at d=64) instead of a slow cross-lane VPU reduction.
+  normalizer comes out of the P·V matmul for free (N=65 output costs the
+  same MXU wall time as N=64, bench/exp_dot_shapes.py) instead of a
+  cross-lane VPU reduction.
+
+* **No operand padding.**  At kernel dot geometry the MXU charges
+  ``ceil(K/128)`` passes whether or not the d=64 contraction is
+  zero-padded (native == padded within noise, bench/exp_dot_shapes.py),
+  so operands stream at their natural width — padding them in HBM or VMEM
+  only costs bandwidth and copies.
+
+* **Quantized KV is d-major.**  int8/fp8 codes arrive ``[.., d, L]`` (full
+  int8 tiles, long DMA rows; the d-minor form streamed 64-byte rows and
+  cost +35%), the kernels cast them once (fp8 via the bit reconstruction
+  in ``common.fp8_e4m3_to_bf16``), and the per-position scales fold into
+  scores / probabilities / dS on the hidden VPU side.
 
 All softmax/accumulation arithmetic is fp32 regardless of input dtype; the
 MXU dots run in the input dtype (bf16 in, fp32 accumulate).  Sequence
@@ -57,6 +82,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_flash.kernels.common import (
     LANES,
     MASK_VALUE,
+    cast_codes,
     default_interpret,
     pad_to,
     round_up,
@@ -424,8 +450,8 @@ def _fwd_kernel(
         # between DMA arrival and the MXU is ONE int8->bf16 convert; the
         # per-position scales fold onto the already-hidden VPU side
         # (scores x kscale, p x vscale) instead of dequantizing operands.
-        kt = k_ref[0].astype(q_ref.dtype)           # [d, bk] codes
-        vt = v_ref[0].astype(q_ref.dtype)           # [d, bk] codes
+        kt = cast_codes(k_ref[0], q_ref.dtype)      # [d, bk] codes
+        vt = cast_codes(v_ref[0], q_ref.dtype)      # [d, bk] codes
         kscale = ks_ref[0]                          # [1, bk] fp32
         vscale = vs_ref[0]                          # [1, bk] fp32
     else:
@@ -881,8 +907,8 @@ def _bwd_dkv_kernel(
         # are live for this Q tile; the dots never touch the rest.
         q, do = q_ref[0], do_ref[0]                 # [bq, d]
         if quantized:
-            kq = k_ref[0][:, :w].astype(q_ref.dtype)    # [d, w] raw codes
-            vq = v_ref[0][:, :w].astype(q_ref.dtype)
+            kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
+            vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
             kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
         else:
             kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
@@ -935,8 +961,8 @@ def _bwd_dq_kernel(
 
     def _body(w):
         if quantized:
-            kq = k_ref[0][:, :w].astype(q_ref.dtype)    # [d, w] raw codes
-            vq = v_ref[0][:, :w].astype(q_ref.dtype)
+            kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
+            vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
             kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
         else:
             kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
@@ -1010,8 +1036,8 @@ def _bwd_fused_kernel(
     def _body(w):
         q, do = q_ref[0], do_ref[0]
         if quantized:
-            kq = k_ref[0][:, :w].astype(q_ref.dtype)    # [d, w] raw codes
-            vq = v_ref[0][:, :w].astype(q_ref.dtype)
+            kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
+            vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
             kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
         else:
             kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]

@@ -43,12 +43,17 @@ from tpu_flash.ops.reference import causal_mask
 
 AttentionKind = Literal["flash", "fused", "naive", "auto"]
 
-# "auto" dispatch: the Pallas flash kernel pays off once the score tile work
-# amortizes its pipeline overheads; below this L*d the XLA naive graph (fully
-# fused by the compiler, scores materialized) is faster on TPU.  Measured
-# crossover on v5e: the reference MT config (L=256, d_head=32) runs ~1.5x
-# faster naive, while L=2048/d=64 runs ~2.8x faster flash.
-_FLASH_AUTO_MIN_LD = 64 * 1024
+# "auto" dispatch: the Pallas flash kernel pays off once the sequence is
+# long enough to amortize its fixed pipeline overheads; below that the XLA
+# naive graph (fully fused by the compiler, scores materialized) is faster
+# on TPU.  Round-2 sweep over the full (L, d, dtype) grid
+# (bench/sweep_auto.py, RESULTS.md): the crossover sits between L=512 and
+# L=1024 for EVERY head dim (32/64/128) and both dtypes — flash's
+# small-L cost is a fixed ~50 us floor (kernel dispatch + pipeline
+# prologue), so the threshold keys on L alone, not L*d (round 1's L*d rule
+# was calibrated from two points and misclassified both L=512/d=128 —
+# naive wins 2x — and L=1024/d=32 — flash wins).
+_FLASH_AUTO_MIN_L = 1024
 
 
 @dataclasses.dataclass
@@ -149,8 +154,7 @@ class MultiHeadAttention(Module):
         c = self.cfg
         kind = c.attention_kind
         if kind == "auto":
-            L, d = q.shape[-2], q.shape[-1]
-            kind = "flash" if L * d >= _FLASH_AUTO_MIN_LD else "naive"
+            kind = "flash" if q.shape[-2] >= _FLASH_AUTO_MIN_L else "naive"
         if kind != "flash" and k.shape[1] != q.shape[1]:
             # GQA: the dense [B, H, L, d] paths repeat each KV head across
             # its query group; the flash kernel (like the decode kernel)
