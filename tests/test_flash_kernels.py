@@ -135,7 +135,8 @@ def test_backward_two_pass_fallback_matches_fused(rng, monkeypatch):
     raw = fa.flash_attention_backward.__wrapped__
     fused = raw(q, k, v, out, lse, do, causal=True, block_q=128,
                 block_k=128, interpret=True)
-    monkeypatch.setattr(fa, "_FUSED_DQ_VMEM_BUDGET", 1)  # force two-pass
+    monkeypatch.setattr(fa, "_FUSED_VMEM_CAP_BF16", 1)   # force two-pass
+    monkeypatch.setattr(fa, "_FUSED_VMEM_CAP_FP32", 1)
     twopass = raw(q, k, v, out, lse, do, causal=True, block_q=128,
                   block_k=128, interpret=True)
     for a, b in zip(fused, twopass):

@@ -1094,14 +1094,15 @@ def _group_sum(x, B, Hkv, g, Lk, d):
         x.dtype)
 
 
-# dQ-in-VMEM scratch is [pLq, d(+1)] fp32 per core, and the fused kernel
-# also holds the full-sequence dQ *output* block (double-buffered in the
-# INPUT dtype) on top of the usual q/k/v/do tiles — so the scratch budget
-# must leave room for roughly 3x itself, and everything except the fp32
-# scratch doubles when the inputs are fp32 (measured: fp32 L=8192 d=64
-# demanded 19.08M scoped vmem against the 16M limit while bf16 L=8192
-# compiles fine).  Sequences past the budget fall back to the two-pass form.
-_FUSED_DQ_VMEM_BUDGET = int(2.5 * 1024 * 1024)
+# Scoped-VMEM caps for the fused single-pass backward (round 1 gated it on
+# a flat dQ-scratch budget; round 2 replaced that with the explicit
+# footprint model in flash_attention_backward — block_k clamps until the
+# modeled footprint fits the cap, and the two-pass form engages, keeping
+# the wide tile, only when no block_k fits).  Calibrated against observed
+# Mosaic outcomes; fp32 is tighter because HIGHEST-precision dots carry
+# operand splits the model cannot see.
+_FUSED_VMEM_CAP_BF16 = int(12.5 * 1024 * 1024)
+_FUSED_VMEM_CAP_FP32 = int(9.5 * 1024 * 1024)
 
 
 @functools.partial(
@@ -1189,19 +1190,31 @@ def flash_attention_backward(
     dwf = d + 1 if _fold_l(d) else d
 
     def _fused_footprint(bk):
+        # Calibrated against observed Mosaic scoped-vmem outcomes: L=2048/
+        # bk=2048 compiles (model 12.1M), L=8192/bk=2048 OOMs at 21.75M
+        # (model 16M -> clamps to 1024, 10.8M, compiles), L=16384/bk=512
+        # OOMs at 19.75M (model 13.4M -> two-pass).  The dq output block is
+        # counted triple-buffered — that is what the observed failures
+        # calibrate to.
         return (2 * block_q * bk * 4        # two live fp32 score-chain tiles
                 + 2 * bk * dwf * 4          # dk/dv accumulators
                 + pLq * dwf * 4             # full-sequence dq scratch
-                + 2 * pLq * d * ib          # double-buffered dq output block
+                + 3 * pLq * d * ib          # buffered dq output block
                 + 4 * bk * d * ib           # double-buffered K/V tiles
                 + 4 * block_q * d * ib)     # double-buffered Q/dO tiles
 
-    _FUSED_VMEM_CAP = 14 * 1024 * 1024
-    maybe_fused = pLq * dwf * 4 <= (
-        _FUSED_DQ_VMEM_BUDGET // (2 if ib >= 4 else 1))
-    if maybe_fused:
-        while block_k > 512 and _fused_footprint(block_k) > _FUSED_VMEM_CAP:
-            block_k //= 2
+    # fp32 boundary observed between 8.9M (compiles) and 11.8M (OOMs);
+    # bf16 between 12.1M (compiles) and 13.4M (OOMs) — see the module caps.
+    _FUSED_VMEM_CAP = _FUSED_VMEM_CAP_FP32 if ib >= 4 else _FUSED_VMEM_CAP_BF16
+    bk_fused = block_k
+    while bk_fused > 512 and _fused_footprint(bk_fused) > _FUSED_VMEM_CAP:
+        bk_fused //= 2
+    will_fuse = _fused_footprint(bk_fused) <= _FUSED_VMEM_CAP
+    if will_fuse:
+        # the clamped tile only applies to the fused single-pass form; the
+        # two-pass kernels have no full-sequence terms and keep the wide
+        # tile (two-pass L=16k at bk=2048 measured 11.7 ms vs 13.7 at 512)
+        block_k = bk_fused
 
     pLk = round_up(Lk, block_k)
     padded_kv = pLk != Lk
@@ -1273,7 +1286,11 @@ def flash_attention_backward(
         q_offset=q_offset, kv_len=Lk, kv_outer=True, window=window)
     aug = _fold_l(d)
     dw = d + 1 if aug else d
-    fused = maybe_fused and _fused_footprint(block_k) <= _FUSED_VMEM_CAP
+    # Single-pass (5 dots/pair) whenever the modeled footprint fits; the
+    # model replaced round 1's flat pLq budget.  At L>=16k bf16 no block_k
+    # fits (the full-sequence dq terms dominate) and the two-pass form
+    # engages with the wide tile.
+    fused = will_fuse
 
     common_in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
