@@ -219,3 +219,36 @@ def test_quantized_decoder_int4(rng):
     agree = float(jnp.mean((jnp.argmax(fp, -1) == jnp.argmax(q4, -1))
                            .astype(jnp.float32)))
     assert agree > 0.7, agree
+
+
+def test_fp8_bit_reconstruction_maps_nan_codes():
+    """e4m3fn NaN codes (em == 0x7F) must decode to bf16 NaN, not +/-448
+    (ADVICE round 2: a NaN slipping into a quantized cache must surface)."""
+    from tpu_flash.kernels.common import fp8_e4m3_to_bf16
+
+    codes = jnp.asarray(
+        np.array([0x7F, 0xFF, 0x00, 0x80, 0x3C, 0xBC], np.uint8).view(
+            np.dtype(jnp.float8_e4m3fn)))
+    out = fp8_e4m3_to_bf16(codes)
+    exact = codes.astype(jnp.bfloat16)
+    assert bool(jnp.isnan(out[0])) and bool(jnp.isnan(out[1]))
+    np.testing.assert_array_equal(
+        np.asarray(out[2:], np.float32), np.asarray(exact[2:], np.float32))
+
+
+def test_fast_exp_rejected_for_fp32():
+    """Explicit fast_exp=True with fp32 inputs must raise (exact-parity
+    mode must never silently degrade its softmax tail to bf16)."""
+    from tpu_flash.kernels.flash_attention import (
+        flash_attention_backward,
+        flash_attention_forward,
+    )
+
+    q = jnp.zeros((1, 1, 128, 64), jnp.float32)
+    with pytest.raises(ValueError, match="fast_exp"):
+        flash_attention_forward(q, q, q, causal=True, fast_exp=True)
+    o = jnp.zeros_like(q)
+    lse = jnp.zeros((1, 1, 128), jnp.float32)
+    with pytest.raises(ValueError, match="fast_exp"):
+        flash_attention_backward(q, q, q, o, lse, o, causal=True,
+                                 fast_exp=True)

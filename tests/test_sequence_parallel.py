@@ -148,3 +148,22 @@ def test_ring_window_truncates():
     assert _window_steps(8, 64, 64) == 2
     assert _window_steps(8, 64, 65) == 3
     assert _window_steps(8, 64, 1024) == 8
+
+
+def test_attention_with_lse_oracle_respects_causal_flag(rng):
+    """The dense-oracle branch (non-pallas impl with q_offset set) must
+    honor causal=False instead of masking unconditionally (ADVICE round 2).
+    """
+    from tpu_flash.parallel.sequence import _attention_with_lse
+
+    q = jnp.asarray(rng.standard_normal((1, 2, 16, 32)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 16, 32)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 16, 32)), jnp.float32)
+    out, lse = _attention_with_lse(q, k, v, causal=False, impl="reference",
+                                   q_offset=0)
+    # non-causal with q_offset=0 over equal lengths == plain dense attention
+    from tpu_flash.ops.reference import naive_attention
+
+    expected = naive_attention(q, k, v, causal=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                               atol=1e-5, rtol=1e-5)

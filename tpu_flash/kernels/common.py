@@ -41,13 +41,16 @@ def fp8_e4m3_to_bf16(codes: jax.Array) -> jax.Array:
     0x3C00 (exponent re-bias 7 -> 127 shifted into the bf16 field);
     subnormals (|v| < 2^-6, bottom ~1.5% of the code range) flush to zero
     — below the e4m3 quantization step of any realistically-scaled cache,
-    and the kernels' parity tolerances absorb it.  Works identically in
-    interpret mode (plain lax ops).
+    and the kernels' parity tolerances absorb it.  e4m3fn NaN codes
+    (em == 0x7F) map to a bf16 quiet NaN so a NaN that slips into a
+    quantized cache surfaces instead of decoding as a finite +/-448.
+    Works identically in interpret mode (plain lax ops).
     """
     x = jax.lax.bitcast_convert_type(codes, jnp.int8).astype(jnp.int32) & 0xFF
     sign = (x & 0x80) << 8
     em = x & 0x7F
     bits = jnp.where(em >= 8, sign | ((em << 4) + 0x3C00), sign)
+    bits = jnp.where(em == 0x7F, sign | 0x7FC0, bits)  # e4m3fn NaN -> qNaN
     return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16), jnp.bfloat16)
 
 

@@ -757,6 +757,10 @@ def flash_attention_forward(
         # halving its width buys nothing.  Kept as an explicit knob for
         # sweeps; fp32 inputs must never take it (exact-parity mode).
         fast_exp = False
+    elif fast_exp and jnp.dtype(q.dtype).itemsize >= 4:
+        raise ValueError(
+            "fast_exp=True degrades the softmax tail to bf16 — fp32 inputs "
+            "are exact-parity mode and must not take it")
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -1167,6 +1171,10 @@ def flash_attention_backward(
         # halving its width buys nothing.  Kept as an explicit knob for
         # sweeps; fp32 inputs must never take it (exact-parity mode).
         fast_exp = False
+    elif fast_exp and jnp.dtype(q.dtype).itemsize >= 4:
+        raise ValueError(
+            "fast_exp=True degrades the softmax tail to bf16 — fp32 inputs "
+            "are exact-parity mode and must not take it")
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))

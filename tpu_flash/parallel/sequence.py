@@ -158,7 +158,7 @@ def _attention_with_lse(q, k, v, *, causal, impl, window=None, q_offset=None):
                     k.astype(jnp.float32)) * scale
     rows = jnp.arange(q.shape[-2])[:, None] + off
     cols = jnp.arange(k.shape[-2])[None, :]
-    keep = cols <= rows
+    keep = (cols <= rows) if causal else jnp.ones_like(cols <= rows)
     if window is not None:
         keep &= cols > rows - window
     sc = jnp.where(keep, sc, -jnp.inf)
