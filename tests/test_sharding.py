@@ -282,3 +282,60 @@ def test_multistep_full_composition_matches_single_device(rng):
 
     np.testing.assert_allclose(sharded_losses, single_losses,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_mesh_construction():
+    """dcn_data builds the (h*data, model) hybrid layout with model inside
+    each granule and data ordered [DCN slower, ICI faster]
+    (parallel/context.py)."""
+    ctx = parallel.make_mesh(data=2, model=2, dcn_data=2)
+    assert ctx.data_size == 4 and ctx.model_size == 2
+    # single-process emulation: granule h owns the contiguous device block
+    devs = ctx.mesh.devices
+    flat = [d.id for d in devs.reshape(-1)]
+    assert flat == sorted(flat)  # [dcn, data, model] row-major order
+    with pytest.raises(ValueError):
+        parallel.make_mesh(data=2, model=2, dcn_data=3)
+
+
+def test_hybrid_mesh_train_step_matches_single_device(rng):
+    """The 2-granule hybrid mesh compiles and pins to the single-device
+    oracle, exactly like the flat mesh."""
+    ctx = parallel.make_mesh(data=1, model=4, dcn_data=2)
+    model = make_model()
+    opt = nn.adam(lr=1e-3)
+    loss_fn = loss_fn_for(model)
+
+    params, opt_state, _ = parallel.init_sharded(
+        ctx, model, opt, jax.random.key(0))
+    raw = make_batch(rng, B=8)
+    batch = parallel.put_local_batch(ctx, raw)  # 1-process: == put_batch
+    step = parallel.make_sharded_train_step(ctx, model, opt, loss_fn)
+    params, opt_state, loss = step(params, opt_state, batch,
+                                   jax.random.key(0))
+
+    parallel.set_parallel_context(None)
+    p = model.init(jax.random.key(0))
+
+    @jax.jit
+    def loss1(p, batch, key):
+        return loss_fn(p, batch, key=key, training=True)
+
+    single = float(loss1(p, {k: jnp.asarray(v) for k, v in raw.items()},
+                         jax.random.key(0)))
+    np.testing.assert_allclose(float(loss), single, rtol=1e-5, atol=1e-6)
+
+
+def test_initialize_distributed_idempotent():
+    """Single-process call must not raise (defensive-call contract)."""
+    try:
+        parallel.initialize_distributed(
+            coordinator_address="127.0.0.1:12345", num_processes=1,
+            process_id=0)
+    except RuntimeError as e:
+        # Acceptable only if the backend is already up in this process in a
+        # way initialize cannot attach to; anything else is a failure.
+        assert "already initialized" in str(e).lower(), e
+    # second call must be a no-op
+    parallel.initialize_distributed(
+        coordinator_address="127.0.0.1:12345", num_processes=1, process_id=0)

@@ -371,15 +371,29 @@ def main(argv=None):
                    help="Megatron-SP: shard LN/dropout/residual activations "
                         "over the tp axis along the sequence dim (needs "
                         "--tp > 1 to have any effect)")
+    p.add_argument("--dcn-data", type=int, default=1, metavar="H",
+                   help="multi-host: number of DCN granules (hosts/slices); "
+                        "joins the job via jax.distributed.initialize and "
+                        "builds the hybrid mesh (--tp on ICI within each "
+                        "host, data = H x --dp with the host axis slowest). "
+                        "Run the same command once per host.")
     args = p.parse_args(argv)
+
+    if args.dcn_data > 1 and not os.environ.get("TPU_FLASH_PLATFORM"):
+        # Join the multi-host job (auto-detected on TPU pods).  Under the
+        # single-process CPU emulation (TPU_FLASH_PLATFORM=cpu + virtual
+        # devices) there is no coordinator — make_mesh emulates the DCN
+        # granules with contiguous device blocks instead (context.py).
+        from tpu_flash import parallel
+        parallel.initialize_distributed()
 
     L = args.model_max_length
     batch_size = args.batch_size or (128 * 40 + L) // L  # reference rule
 
     ctx = None
-    if args.dp * args.tp > 1 or args.zero1:
+    if args.dp * args.tp * args.dcn_data > 1 or args.zero1:
         from tpu_flash import parallel
-        n_dev = args.dp * args.tp
+        n_dev = args.dp * args.tp * args.dcn_data
         if n_dev > len(jax.devices()):
             raise SystemExit(
                 f"--dp {args.dp} x --tp {args.tp} needs {n_dev} devices, "
@@ -392,9 +406,11 @@ def main(argv=None):
                     f"divisible by tp (got {val}); Megatron layouts shard "
                     f"these dims over the model axis")
         ctx = parallel.make_mesh(data=args.dp, model=args.tp,
-                                 devices=jax.devices()[:n_dev])
-        if batch_size % args.dp:
-            batch_size = -(-batch_size // args.dp) * args.dp
+                                 devices=jax.devices()[:n_dev],
+                                 dcn_data=args.dcn_data)
+        dp_total = args.dp * args.dcn_data
+        if batch_size % dp_total:
+            batch_size = -(-batch_size // dp_total) * dp_total
             print(json.dumps({"batch_size_rounded_to_dp": batch_size}))
     if args.accum_steps > 1:
         if ctx is not None:

@@ -4,6 +4,7 @@ the SPMD train step (all new design -- the reference is single-GPU)."""
 from tpu_flash.parallel.context import (  # noqa: F401
     ParallelContext,
     current_context,
+    initialize_distributed,
     make_mesh,
     parallel_context,
     set_parallel_context,
@@ -23,6 +24,7 @@ from tpu_flash.parallel.train import (  # noqa: F401
     init_sharded,
     make_sharded_train_step,
     put_batch,
+    put_local_batch,
 )
 from tpu_flash.parallel.vocab_loss import (  # noqa: F401
     vocab_parallel_softmax_loss,

@@ -57,3 +57,24 @@ def put_batch(ctx: ParallelContext, batch):
         k: jax.device_put(jnp.asarray(v), NamedSharding(ctx.mesh, specs[k]))
         for k, v in batch.items()
     }
+
+
+def put_local_batch(ctx: ParallelContext, local_batch):
+    """Multi-host batch feed: each process passes ITS rows of the global
+    batch (its data loader's shard); the returned jax.Arrays are globally
+    sharded over the mesh without any cross-host data movement.
+
+    Single-process meshes degrade to ``put_batch`` semantics (the local
+    batch IS the global batch).  On a ``dcn_data``-granule mesh each host
+    contributes ``global_batch / n_hosts`` rows, which land on its own
+    devices by construction of the hybrid device order (context.py).
+    """
+    specs = batch_specs(ctx, local_batch)
+    if jax.process_count() == 1:
+        return put_batch(ctx, local_batch)
+    import numpy as np
+    return {
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(ctx.mesh, specs[k]), np.asarray(v))
+        for k, v in local_batch.items()
+    }
