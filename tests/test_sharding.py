@@ -123,7 +123,7 @@ def test_sharded_train_step_matches_single_device(rng, data, model_p):
 def test_sharded_flash_attention_dropout_runs(rng):
     """Dropout under a parallel context: the seed rides shard_map as a
     replicated operand; determinism per seed and sensitivity across seeds
-    still hold (masks use shard-local head indices — documented)."""
+    still hold."""
     ctx = parallel.make_mesh(data=2, model=4)
     q, k, v = (jnp.asarray(rng.standard_normal((2, 8, 64, 32)), jnp.float32)
                for _ in range(3))
@@ -137,6 +137,33 @@ def test_sharded_flash_attention_dropout_runs(rng):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert float(jnp.max(jnp.abs(a - c))) > 0.0
     assert a.sharding.spec == P("data", "model", None, None)
+
+
+@pytest.mark.parametrize("data,model_p", [(2, 4), (4, 2), (8, 1)])
+def test_sharded_dropout_bit_identical_to_unsharded(rng, data, model_p):
+    """The dropout hash mixes GLOBAL (batch, head) indices via the shard
+    offsets packed into the seed vector, so ANY mesh layout produces the
+    same bits as the single-device run — forward and backward."""
+    ctx = parallel.make_mesh(data=data, model=model_p)
+    # B divisible by every data size so the shard_map kernel path (not the
+    # GSPMD dense fallback) is what runs in all three layouts.
+    q, k, v, do = (jnp.asarray(rng.standard_normal((8, 8, 64, 32)),
+                               jnp.float32) for _ in range(4))
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, causal=True, dropout_rate=0.25,
+                              dropout_seed=7)
+        return jnp.sum(out * do), out
+
+    with parallel.parallel_context(ctx):
+        (_, sharded), sgrads = jax.value_and_grad(
+            loss, (0, 1, 2), has_aux=True)(q, k, v)
+    parallel.set_parallel_context(None)
+    (_, single), grads = jax.value_and_grad(
+        loss, (0, 1, 2), has_aux=True)(q, k, v)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+    for sg, g in zip(sgrads, grads):
+        np.testing.assert_array_equal(np.asarray(sg), np.asarray(g))
 
 
 def test_sequence_parallel_matches_single_device(rng):
@@ -327,15 +354,12 @@ def test_hybrid_mesh_train_step_matches_single_device(rng):
 
 
 def test_initialize_distributed_idempotent():
-    """Single-process call must not raise (defensive-call contract)."""
-    try:
-        parallel.initialize_distributed(
-            coordinator_address="127.0.0.1:12345", num_processes=1,
-            process_id=0)
-    except RuntimeError as e:
-        # Acceptable only if the backend is already up in this process in a
-        # way initialize cannot attach to; anything else is a failure.
-        assert "already initialized" in str(e).lower(), e
-    # second call must be a no-op
+    """Single-process calls must not raise (defensive-call contract),
+    whether the XLA backend is already up or the distributed service was
+    already joined."""
+    jax.devices()  # ensure the backend is initialized
+    parallel.initialize_distributed(
+        coordinator_address="127.0.0.1:12345", num_processes=1, process_id=0)
+    # second call must be a no-op too
     parallel.initialize_distributed(
         coordinator_address="127.0.0.1:12345", num_processes=1, process_id=0)

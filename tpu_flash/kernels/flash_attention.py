@@ -365,40 +365,50 @@ def _ones_col(x):
         [x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
 
 
-def dropout_keep_mask(rows, cols, bh, seed, rate):
+def dropout_keep_mask(rows, cols, b, h, seed, rate):
     """Deterministic attention-dropout keep mask from a counter-based hash.
 
     The TPU-native analog of FlashAttention's philox-counter dropout: the
-    mask for position (row, col) of head ``bh`` is a pure function of the
-    indices and a seed, so the backward pass REGENERATES it exactly instead
-    of storing an [Lq, Lk] mask (which would defeat the flash memory
-    footprint).  Plain uint32 multiply/xor/shift (murmur3-style fmix
-    finalizer) rather than ``pltpu.prng_*``: identical bits in interpret
-    mode (CPU tests) and compiled Mosaic, and recomputable from plain jnp
-    for the test oracle (``ops.reference.dropout_keep_oracle``).
+    mask for position (row, col) of (batch ``b``, head ``h``) is a pure
+    function of the indices and a seed, so the backward pass REGENERATES it
+    exactly instead of storing an [Lq, Lk] mask (which would defeat the
+    flash memory footprint).  Plain uint32 multiply/xor/shift (murmur3-style
+    fmix finalizer) rather than ``pltpu.prng_*``: identical bits in
+    interpret mode (CPU tests) and compiled Mosaic, and recomputable from
+    plain jnp for the test oracle (``ops.reference.dropout_keep_oracle``).
 
     ``rows``/``cols`` are int32 GLOBAL indices (broadcastable to the tile
-    shape), ``bh`` the flattened batch·head index, ``seed`` int32; returns
-    bool keep mask with P(keep) = 1 - rate.
+    shape); ``b``/``h`` are the GLOBAL batch and head indices mixed
+    separately — under shard_map the kernels reconstruct them from the
+    local program id plus the shard's (batch, head) offsets (prefetched in
+    the seed array), so sharded runs are bit-identical to the unsharded
+    layout; ``seed`` int32.  Returns bool keep mask, P(keep) = 1 - rate.
     """
-    h = (rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    u = (rows.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
          ^ cols.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-         ^ (jnp.asarray(bh).astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+         ^ (jnp.asarray(b).astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+         ^ (jnp.asarray(h).astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
          ^ jnp.asarray(seed).astype(jnp.uint32))
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x7FEB352D)
-    h = h ^ (h >> 15)
-    h = h * jnp.uint32(0x846CA68B)
-    h = h ^ (h >> 16)
-    return h >= jnp.uint32(min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1))
+    u = u ^ (u >> 16)
+    u = u * jnp.uint32(0x7FEB352D)
+    u = u ^ (u >> 15)
+    u = u * jnp.uint32(0x846CA68B)
+    u = u ^ (u >> 16)
+    return u >= jnp.uint32(min(int(round(rate * 2.0 ** 32)), 2 ** 32 - 1))
 
 
-def _tile_keep_scale(i_tile, j_tile, shape, *, block_q, block_k, bh, seed,
+def _global_bh(bh, n_heads, seed_ref):
+    """Global (batch, head) of local program id ``bh``: the shard's batch /
+    head offsets ride in the prefetched seed array (0 when unsharded)."""
+    return bh // n_heads + seed_ref[1], bh % n_heads + seed_ref[2]
+
+
+def _tile_keep_scale(i_tile, j_tile, shape, *, block_q, block_k, b, h, seed,
                      rate, dtype=jnp.float32):
     """keep/(1-rate) multiplier tile for (q tile, kv tile): 0 where dropped."""
     rows = i_tile * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     cols = j_tile * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-    keep = dropout_keep_mask(rows, cols, bh, seed, rate)
+    keep = dropout_keep_mask(rows, cols, b, h, seed, rate)
     one = jnp.asarray(1.0 / (1.0 - rate), dtype)
     return jnp.where(keep, one, jnp.asarray(0.0, dtype))
 
@@ -414,7 +424,8 @@ def _fwd_kernel(
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
-    quantized, q_pack, dropout_rate, window, segmented, fast_exp, patterns,
+    n_heads, quantized, q_pack, dropout_rate, window, segmented, fast_exp,
+    patterns,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)   # hoisted: program_id inside pl.when bodies is
@@ -497,9 +508,10 @@ def _fwd_kernel(
             # (which is why fold_l is disabled under dropout) and only the
             # P·V accumulation sees the mask.  Regenerated identically in
             # the backward from the same (row, col, head, seed) hash.
+            gb, gh = _global_bh(bh, n_heads, seed_ref)
             p_v = p * _tile_keep_scale(
                 imap_ref[t] * q_pack + h, jmap_ref[t], s2.shape,
-                block_q=block_q, block_k=block_k, bh=bh,
+                block_q=block_q, block_k=block_k, b=gb, h=gh,
                 seed=seed_ref[0], rate=dropout_rate, dtype=p.dtype)
         else:
             p_v = p
@@ -749,6 +761,11 @@ def flash_attention_forward(
     # either — l falls back to the (hidden-VPU) rowsum.
     fold_l = _fold_l(d) and dropout_rate == 0.0 and not quantized
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
+    if seed_arr.shape[0] < 3:
+        # [seed, batch_offset, head_offset] — offsets are nonzero only when
+        # an outer shard_map packs them so the dropout hash sees GLOBAL
+        # (batch, head) indices (layout-independent masks).
+        seed_arr = jnp.pad(seed_arr, (0, 3 - seed_arr.shape[0]))
     if fast_exp is None:
         # Measured neutral-to-slightly-negative at the headline shape
         # (bench/exp_fast_softmax.py: fw 0.418 -> 0.431 ms, bw 0.860 ->
@@ -765,7 +782,7 @@ def flash_attention_forward(
     kernel = functools.partial(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d,
+        kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, n_heads=H,
         quantized=quantized, q_pack=q_pack, dropout_rate=dropout_rate,
         window=window, segmented=segmented, fast_exp=fast_exp,
         patterns=patterns,
@@ -831,7 +848,7 @@ def flash_attention_forward(
 
 def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
               block_k, kv_len, padded_kv, q_offset, d,
-              dropout_rate=0.0, bh=None, seed=None, window=None,
+              dropout_rate=0.0, b=None, h=None, seed=None, window=None,
               qseg=None, kseg=None, fast_exp=False,
               kscale=None, vscale=None):
     """Shared backward recompute for one (q, kv) tile pair: returns
@@ -877,7 +894,7 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
         # The keep mask scales dp BEFORE the delta subtraction
         # (ds = p ∘ (dP̃ - delta) with dP̃ = (dO Vᵀ)∘M/(1-r)).
         keep_scale = _tile_keep_scale(
-            i, j, s2.shape, block_q=block_q, block_k=block_k, bh=bh,
+            i, j, s2.shape, block_q=block_q, block_k=block_k, b=b, h=h,
             seed=seed, rate=dropout_rate)
         dp = dp * keep_scale
         p_dv = p * keep_scale.astype(p_dtype)
@@ -894,10 +911,11 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate, window, segmented, fast_exp, widths,
+    n_heads, quantized, dropout_rate, window, segmented, fast_exp, widths,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
+    gb, gh = _global_bh(bh, n_heads, seed_ref)
     flags = flags_ref[t]
     wc = wmap_ref[t]
 
@@ -922,7 +940,7 @@ def _bwd_dkv_kernel(
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
-            dropout_rate=dropout_rate, bh=bh,
+            dropout_rate=dropout_rate, b=gb, h=gh,
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
@@ -952,10 +970,11 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    quantized, dropout_rate, window, segmented, fast_exp, widths,
+    n_heads, quantized, dropout_rate, window, segmented, fast_exp, widths,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
+    gb, gh = _global_bh(bh, n_heads, seed_ref)
     flags = flags_ref[t]
     wc = wmap_ref[t]
 
@@ -976,7 +995,7 @@ def _bwd_dq_kernel(
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
-            dropout_rate=dropout_rate, bh=bh,
+            dropout_rate=dropout_rate, b=gb, h=gh,
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
@@ -1012,7 +1031,8 @@ def _bwd_fused_kernel(
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps, quantized, dropout_rate, window, segmented, fast_exp, widths,
+    n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
+    widths,
 ):
     """Single-pass backward: dK/dV accumulate per KV tile as in
     ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
@@ -1025,6 +1045,7 @@ def _bwd_fused_kernel(
     pair's static width class (see ``_tile_schedule``)."""
     t = pl.program_id(1)
     bh = pl.program_id(0)
+    gb, gh = _global_bh(bh, n_heads, seed_ref)
     flags = flags_ref[t]
     wc = wmap_ref[t]
 
@@ -1051,7 +1072,7 @@ def _bwd_fused_kernel(
             imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
             block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, d=d,
-            dropout_rate=dropout_rate, bh=bh,
+            dropout_rate=dropout_rate, b=gb, h=gh,
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
@@ -1272,6 +1293,11 @@ def flash_attention_backward(
     # gradients are w.r.t. the (dequantized) fp values
     grad_dtype = q.dtype
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
+    if seed_arr.shape[0] < 3:
+        # [seed, batch_offset, head_offset] — offsets are nonzero only when
+        # an outer shard_map packs them so the dropout hash sees GLOBAL
+        # (batch, head) indices (layout-independent masks).
+        seed_arr = jnp.pad(seed_arr, (0, 3 - seed_arr.shape[0]))
     segmented = segment_ids is not None
     if segmented:
         if Lq != Lk:
@@ -1322,7 +1348,7 @@ def flash_attention_backward(
             _bwd_fused_kernel,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-            n_steps=len(kv_imap), quantized=quantized,
+            n_steps=len(kv_imap), n_heads=H, quantized=quantized,
             dropout_rate=dropout_rate, window=window, segmented=segmented,
             fast_exp=fast_exp, widths=kv_widths,
         )
@@ -1362,7 +1388,7 @@ def flash_attention_backward(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        quantized=quantized, dropout_rate=dropout_rate, window=window,
+        n_heads=H, quantized=quantized, dropout_rate=dropout_rate, window=window,
         segmented=segmented, fast_exp=fast_exp, widths=kv_widths,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
@@ -1397,7 +1423,8 @@ def flash_attention_backward(
         _bwd_dq_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        quantized=quantized, dropout_rate=dropout_rate, window=window,
+        n_heads=H, quantized=quantized, dropout_rate=dropout_rate,
+        window=window,
         segmented=segmented, fast_exp=fast_exp, widths=q_widths,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(

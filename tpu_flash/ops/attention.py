@@ -293,20 +293,29 @@ def flash_attention(
             from jax.sharding import PartitionSpec as P
 
             spec = P(ctx.data_axis, ctx.model_axis, None, None)
-            # NOTE: under shard_map the dropout hash uses shard-LOCAL
-            # (batch*head) indices, so different shards reuse mask patterns;
-            # statistically irrelevant, but runs are not bit-identical to
-            # the unsharded layout when dropout is on.
+
+            # The dropout hash mixes GLOBAL (batch, head) indices: each
+            # shard packs its (batch, head) offset into the seed vector the
+            # kernels prefetch, so sharded runs are bit-identical to the
+            # unsharded layout (layout-independent masks).
+            def _packed_seed(s, q_loc):
+                b0 = jax.lax.axis_index(ctx.data_axis) * q_loc.shape[0]
+                h0 = jax.lax.axis_index(ctx.model_axis) * q_loc.shape[1]
+                return jnp.stack([s, b0.astype(jnp.int32),
+                                  h0.astype(jnp.int32)])
+
             if seg is None:
                 fn = jax.shard_map(
                     lambda q, k, v, s: _flash_attention(
-                        q, k, v, s, None, causal, impl, dropout_rate, window),
+                        q, k, v, _packed_seed(s, q), None, causal, impl,
+                        dropout_rate, window),
                     mesh=ctx.mesh, in_specs=(spec, spec, spec, P()),
                     out_specs=spec, check_vma=False)
                 return fn(q, k, v, seed)
             fn = jax.shard_map(
                 lambda q, k, v, s, sg: _flash_attention(
-                    q, k, v, s, sg, causal, impl, dropout_rate, window),
+                    q, k, v, _packed_seed(s, q), sg, causal, impl,
+                    dropout_rate, window),
                 mesh=ctx.mesh,
                 in_specs=(spec, spec, spec, P(), P(ctx.data_axis, None)),
                 out_specs=spec, check_vma=False)

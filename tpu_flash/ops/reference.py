@@ -375,15 +375,22 @@ def dropout_keep_oracle(B, H, Lq, Lk, seed, rate):
     """The attention-dropout keep/(1-rate) multiplier for the FULL
     [B, H, Lq, Lk] probability tensor — the dense-oracle twin of the
     in-kernel tile mask (kernels/flash_attention.dropout_keep_mask with
-    global row/col indices and bh = b*H + h), used by the "xla" impl and by
-    the parity tests to reproduce the kernel's masks bit-exactly."""
+    global row/col/batch/head indices), used by the "xla" impl and by the
+    parity tests to reproduce the kernel's masks bit-exactly.  ``seed`` may
+    be the packed [seed, batch_offset, head_offset] vector the shard_map
+    wrapper builds (ops/attention.py) — the offsets shift the global
+    (batch, head) grid the same way the kernel does."""
     from tpu_flash.kernels.flash_attention import dropout_keep_mask
 
+    seed = jnp.atleast_1d(jnp.asarray(seed, jnp.int32))
+    if seed.shape[0] < 3:
+        seed = jnp.pad(seed, (0, 3 - seed.shape[0]))
     rows = jnp.arange(Lq, dtype=jnp.int32)[:, None]
     cols = jnp.arange(Lk, dtype=jnp.int32)[None, :]
-    bh = jnp.arange(B * H, dtype=jnp.int32).reshape(B, H)
-    keep = jax.vmap(jax.vmap(
-        lambda b: dropout_keep_mask(rows, cols, b, seed, rate)))(bh)
+    bs = jnp.arange(B, dtype=jnp.int32) + seed[1]
+    hs = jnp.arange(H, dtype=jnp.int32) + seed[2]
+    keep = jax.vmap(lambda b: jax.vmap(
+        lambda h: dropout_keep_mask(rows, cols, b, h, seed[0], rate))(hs))(bs)
     return jnp.where(keep, jnp.float32(1.0 / (1.0 - rate)),
                      jnp.float32(0.0))
 
