@@ -363,3 +363,27 @@ def test_initialize_distributed_idempotent():
     # second call must be a no-op too
     parallel.initialize_distributed(
         coordinator_address="127.0.0.1:12345", num_processes=1, process_id=0)
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_sharded_kv_quant_matches_unsharded(rng, mode):
+    """Quantized-KV attention under a parallel context runs the kernel in
+    shard_map (per-shard quantize == global: scales are per-(b,h,pos)) and
+    must match the unsharded run bit-exactly, fw and bw."""
+    ctx = parallel.make_mesh(data=2, model=4)
+    q, k, v, do = (jnp.asarray(rng.standard_normal((2, 8, 64, 32)),
+                               jnp.float32) for _ in range(4))
+
+    def loss(q, k, v):
+        out = flash_attention(q, k, v, causal=True, kv_quant=mode)
+        return jnp.sum(out * do), out
+
+    with parallel.parallel_context(ctx):
+        (_, sharded), sgrads = jax.value_and_grad(
+            loss, (0, 1, 2), has_aux=True)(q, k, v)
+    parallel.set_parallel_context(None)
+    (_, single), grads = jax.value_and_grad(
+        loss, (0, 1, 2), has_aux=True)(q, k, v)
+    np.testing.assert_array_equal(np.asarray(sharded), np.asarray(single))
+    for sg, g in zip(sgrads, grads):
+        np.testing.assert_array_equal(np.asarray(sg), np.asarray(g))

@@ -198,3 +198,47 @@ def test_auto_attention_kind_matches_flash_and_naive(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(m_auto(params, ids)),
             np.asarray(m_naive(params, ids)), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_decoder_kv_quant_training(rng, mode):
+    """DecoderConfig.kv_quant plumbs quantized-KV attention into the full
+    model: forward close to the unquantized model (within quantization
+    error), gradients flow to every parameter, and a train step reduces
+    the loss (BASELINE measured config 4 training leg)."""
+    base = cfg(attention_kind="flash", causal=True)
+    qc = dataclasses.replace(base, kv_quant=mode)
+    model, qmodel = nn.DecoderLM(base), nn.DecoderLM(qc)
+    params = model.init(jax.random.key(0))
+    ids = jnp.asarray(np.random.default_rng(0).integers(0, 100, (2, 32)),
+                      jnp.int32)
+    out = model(params, ids)
+    qout = qmodel(params, ids)
+    rel = float(jnp.linalg.norm(qout - out) / jnp.linalg.norm(out))
+    assert rel < 0.05, rel
+
+    tgt = jnp.asarray(np.random.default_rng(1).integers(0, 100, (2, 32)),
+                      jnp.int32)
+
+    def loss_fn(p):
+        return jnp.mean(nn.functional.softmax_loss(qmodel(p, ids), tgt))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert bool(jnp.all(jnp.isfinite(leaf)))
+    # q-projection gradient must be nonzero (flows through the kernel)
+    gq = grads["layers"]["0"]["attention"]["q_projection"]["weight"]
+    assert float(jnp.max(jnp.abs(gq))) > 0.0
+
+    opt = nn.adam(lr=1e-2)
+    opt_state = opt.init(params)
+    p2, _ = opt.update(grads, opt_state, params)
+    assert float(loss_fn(p2)) < float(loss)
+
+
+def test_kv_quant_rejects_dense_paths():
+    with pytest.raises(ValueError, match="kv_quant requires the flash"):
+        cfg(attention_kind="naive", kv_quant="int8")
+    with pytest.raises(ValueError, match="kv_quant"):
+        cfg(attention_kind="flash", kv_quant="int4")

@@ -340,6 +340,12 @@ def main(argv=None):
                    choices=("none", "int8", "fp8"),
                    help="KV-cache quantization for BLEU generation "
                         "(BASELINE config 4: MT with FP8 KV)")
+    p.add_argument("--kv-quant-train", default="none",
+                   choices=("none", "int8", "fp8"),
+                   help="quantized-KV TRAINING attention: K/V quantized "
+                        "per-position, forward and backward both run on "
+                        "the codes (DecoderConfig.kv_quant; BASELINE "
+                        "measured config 4 training leg)")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ background packing loader")
     p.add_argument("--chunked-loss", type=int, default=0, metavar="N",
@@ -481,6 +487,7 @@ def main(argv=None):
         attention_kind=args.attention_kind,
         use_fused_kernel=args.use_fused_kernel,
         sequence_parallel=args.sequence_parallel,
+        kv_quant=args.kv_quant_train,
         dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
     )
     model = nn.DecoderLM(cfg)

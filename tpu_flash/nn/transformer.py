@@ -76,6 +76,11 @@ class DecoderConfig:
     attention_kind: AttentionKind = "flash"       # use_flash_attention
     attn_dropout: float = 0.0                     # in-kernel attention dropout
     window: int | None = None                     # sliding-window attention
+    # Quantized-KV TRAINING attention (BASELINE measured config 4): K/V are
+    # quantized per-(batch, head, position) and both the forward and the
+    # backward recompute consume the codes; residual memory halves (bf16)
+    # or quarters (fp32).  Requires the flash path (ops/attention.py).
+    kv_quant: Literal["none", "int8", "fp8"] = "none"
     use_fused_kernel: bool = False                # fused softmax + LN switch
     dtype: Any = jnp.float32
     # TPU-first extras
@@ -103,6 +108,16 @@ class DecoderConfig:
                 raise ValueError(
                     f"window must be >= 1 (got {self.window}); use "
                     f"window=None to disable sliding-window attention")
+        if self.kv_quant not in ("none", "int8", "fp8"):
+            raise ValueError(
+                f"kv_quant must be 'none', 'int8' or 'fp8', got "
+                f"{self.kv_quant!r}")
+        if self.kv_quant != "none" and self.attention_kind in (
+                "fused", "naive"):
+            raise ValueError(
+                "kv_quant requires the flash attention path (got "
+                f"attention_kind={self.attention_kind!r}); the dense graphs "
+                "have no quantized-KV form")
 
     @property
     def attn_hidden_dim(self) -> int:
@@ -154,7 +169,10 @@ class MultiHeadAttention(Module):
         c = self.cfg
         kind = c.attention_kind
         if kind == "auto":
-            kind = "flash" if q.shape[-2] >= _FLASH_AUTO_MIN_L else "naive"
+            # kv_quant exists only as a kernel form — auto always takes it
+            # to the flash path regardless of sequence length.
+            kind = ("flash" if c.kv_quant != "none"
+                    or q.shape[-2] >= _FLASH_AUTO_MIN_L else "naive")
         if kind != "flash" and k.shape[1] != q.shape[1]:
             # GQA: the dense [B, H, L, d] paths repeat each KV head across
             # its query group; the flash kernel (like the decode kernel)
@@ -171,10 +189,11 @@ class MultiHeadAttention(Module):
             if dropping:
                 return flash_attention(
                     q, k, v, causal=c.causal, window=c.window,
-                    segment_ids=segment_ids,
+                    segment_ids=segment_ids, kv_quant=c.kv_quant,
                     dropout_rate=c.attn_dropout, dropout_seed=seed)
             return flash_attention(q, k, v, causal=c.causal,
-                                   window=c.window, segment_ids=segment_ids)
+                                   window=c.window, segment_ids=segment_ids,
+                                   kv_quant=c.kv_quant)
         scale = 1.0 / math.sqrt(c.attn_hidden_dim)
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
         if kind == "fused":

@@ -271,18 +271,55 @@ def flash_attention(
     if (dropout_rate > 0.0 or window is not None or seg is not None) \
             and impl == "reference":
         impl = "xla"  # the dropout/window/segment-capable dense oracle form
+    from tpu_flash.parallel.context import current_context
+
+    ctx = current_context()
     if kv_quant != "none":
         if kv_quant not in ("int8", "fp8"):
             raise ValueError(f"kv_quant must be 'none', 'int8' or 'fp8', "
                              f"got {kv_quant!r}")
         if impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
+        if ctx is not None:
+            # Same TP form as the unquantized kernel: batch over data, heads
+            # over model; quantization happens per-(batch, head, position)
+            # inside each shard, so shard-local quantize == global quantize.
+            B, H, Hkv = q.shape[0], q.shape[1], k.shape[1]
+            if (B % ctx.data_size or H % ctx.model_size
+                    or Hkv % ctx.model_size):
+                raise ValueError(
+                    f"kv_quant under a parallel context needs batch {B} "
+                    f"divisible by data={ctx.data_size} and heads {H}/{Hkv} "
+                    f"by model={ctx.model_size} (GSPMD cannot partition the "
+                    f"quantized pallas kernel)")
+            from jax.sharding import PartitionSpec as P
+
+            spec = P(ctx.data_axis, ctx.model_axis, None, None)
+
+            def _qseed(s, q_loc):
+                b0 = jax.lax.axis_index(ctx.data_axis) * q_loc.shape[0]
+                h0 = jax.lax.axis_index(ctx.model_axis) * q_loc.shape[1]
+                return jnp.stack([s, b0.astype(jnp.int32),
+                                  h0.astype(jnp.int32)])
+
+            if seg is None:
+                fn = jax.shard_map(
+                    lambda q, k, v, s: _flash_attention_quantkv(
+                        q, k, v, _qseed(s, q), None, causal, dropout_rate,
+                        kv_quant, window),
+                    mesh=ctx.mesh, in_specs=(spec, spec, spec, P()),
+                    out_specs=spec, check_vma=False)
+                return fn(q, k, v, seed)
+            fn = jax.shard_map(
+                lambda q, k, v, s, sg: _flash_attention_quantkv(
+                    q, k, v, _qseed(s, q), sg, causal, dropout_rate,
+                    kv_quant, window),
+                mesh=ctx.mesh,
+                in_specs=(spec, spec, spec, P(), P(ctx.data_axis, None)),
+                out_specs=spec, check_vma=False)
+            return fn(q, k, v, seed, seg)
         return _flash_attention_quantkv(
             q, k, v, seed, seg, causal, dropout_rate, kv_quant, window)
-
-    from tpu_flash.parallel.context import current_context
-
-    ctx = current_context()
     if ctx is not None and impl == "pallas":
         B, H, Hkv = q.shape[0], q.shape[1], k.shape[1]
         # Hkv must divide too: GQA/MQA k/v carry fewer heads than q but are
