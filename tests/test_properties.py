@@ -20,7 +20,7 @@ from hypothesis import strategies as st
 import tpu_flash
 from tpu_flash.nn import functional as F
 
-SETTINGS = dict(max_examples=12, deadline=None)
+SETTINGS = dict(max_examples=50, deadline=None)
 
 
 def arrays(draw, shape, lo=-5.0, hi=5.0):
@@ -118,7 +118,7 @@ def test_logsumexp_identity(x):
 @given(st.integers(1, 2), st.integers(1, 3), st.integers(1, 40),
        st.integers(1, 40), st.sampled_from([4, 8, 16]), st.booleans(),
        st.randoms(use_true_random=False))
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=20, deadline=None)
 def test_flash_matches_naive_random_shapes(b, h, lq, lk, d, causal, rnd):
     """Flash kernel == naive attention on arbitrary (unaligned) shapes.
 
@@ -137,3 +137,49 @@ def test_flash_matches_naive_random_shapes(b, h, lq, lk, d, causal, rnd):
         ref = tpu_flash.naive_attention(q, k, v, causal=causal)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-3, atol=1e-3)
+
+
+@st.composite
+def strided_view(draw):
+    """A non-contiguous, permuted view of a larger buffer — the analog of
+    the reference's random-strides/permutes strategies
+    (tests/tensor_strategies.py:23-127): ops must be layout-independent."""
+    shape = draw(st.lists(st.integers(1, 4), min_size=1, max_size=3)
+                 .map(tuple))
+    steps = tuple(draw(st.integers(1, 3)) for _ in shape)
+    big = arrays(draw, tuple(d * s for d, s in zip(shape, steps)))
+    view = big[tuple(slice(None, None, s) for s in steps)]
+    perm = draw(st.permutations(range(len(shape))))
+    return np.transpose(view, perm)
+
+
+@given(strided_view(), st.data())
+@settings(**SETTINGS)
+def test_strided_permuted_views_match_numpy(x, data):
+    """jnp ops on strided+permuted numpy views == numpy on the same view
+    (storage layout must never leak into op semantics)."""
+    axis = data.draw(st.integers(0, x.ndim - 1))
+    np.testing.assert_allclose(np.asarray(jnp.sum(x, axis)), x.sum(axis),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.exp(x)),
+                               np.exp(x), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.asarray(x).T),
+                               x.T, rtol=0)
+    # reductions after an on-device permute equal numpy on the host view
+    perm = data.draw(st.permutations(range(x.ndim)))
+    np.testing.assert_allclose(
+        np.asarray(jnp.transpose(jnp.asarray(x), perm).min(axis)),
+        np.transpose(x, perm).min(axis), rtol=1e-6)
+
+
+@given(strided_view(), strided_view())
+@settings(**SETTINGS)
+def test_strided_binary_broadcast_matches_numpy(x, y):
+    """Binary ops between two independently-strided views broadcast (or
+    refuse) exactly like numpy."""
+    try:
+        expected = np.add(x, y)
+    except ValueError:
+        return  # not broadcastable — jnp raising too is vacuously fine
+    np.testing.assert_allclose(np.asarray(jnp.add(x, y)), expected,
+                               rtol=1e-6)

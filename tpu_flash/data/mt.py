@@ -94,7 +94,23 @@ def get_dataset(
 
     ``synthetic=None`` tries the HF dataset first and falls back to the
     synthetic task; True/False force one path.
+
+    ``dataset_name="local"`` (or ``"deen"``) loads the checked-in REAL
+    German-English corpus (data/deen_corpus.py) — no network needed, BLEU
+    on real text.
     """
+    if dataset_name in ("local", "deen", "local-deen"):
+        from tpu_flash.data.deen_corpus import load_dataset as _load_deen
+
+        dataset = _load_deen()
+        dataset = {
+            split: [ex for ex in dataset[split]
+                    if len(ex[SRC_KEY].split()) + len(ex[TGT_KEY].split())
+                    < model_max_length]
+            for split in dataset
+        }
+        dataset["test"] = dataset["test"][:100]
+        return dataset, SRC_KEY, TGT_KEY
     dataset = None
     if synthetic is not True:
         try:
