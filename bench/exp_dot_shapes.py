@@ -53,16 +53,20 @@ def make_dot(M, K, N, dims, reps):
     return run
 
 
-def time_dot(name, M, K, N, *, contract_last_b=False, reps=4, useful_k=None):
+def time_dot(name, M, K, N, *, contract_last_b=False, reps=4, useful_k=None,
+             dtype=jnp.bfloat16):
     """contract_last_b: dims contract a's axis1 with b's axis1 ([N,K] layout,
-    the QK^T pattern); else a1 x b0 ([K,N], the PV pattern)."""
+    the QK^T pattern); else a1 x b0 ([K,N], the PV pattern).  dtype=fp32
+    runs the kernels' exact-parity mode: _dot pins Precision.HIGHEST for
+    fp32 operands, so this measures the fp32 in-kernel ceiling per shape
+    (VERDICT r2 #8)."""
     rng = np.random.default_rng(0)
     if contract_last_b:
         b_shape, dims = (reps, N, K), (((1,), (1,)))
     else:
         b_shape, dims = (reps, K, N), (((1,), (0,)))
-    a = jnp.asarray(rng.standard_normal((reps, M, K)), jnp.bfloat16)
-    b = jnp.asarray(rng.standard_normal(b_shape), jnp.bfloat16)
+    a = jnp.asarray(rng.standard_normal((reps, M, K)), dtype)
+    b = jnp.asarray(rng.standard_normal(b_shape), dtype)
     run = make_dot(M, K, N, dims, reps)
     flops = 2.0 * M * (useful_k or K) * N * reps * 32
     r = benchmark(run, a, b, name=name, flops=flops)
@@ -72,6 +76,25 @@ def time_dot(name, M, K, N, *, contract_last_b=False, reps=4, useful_k=None):
 
 
 def main():
+    import sys
+    if "--fp32" in sys.argv:
+        # fp32 HIGHEST-precision ceiling per kernel dot shape (the exact-
+        # parity mode's in-kernel roofline; fp32 contraction is multi-pass
+        # on the bf16 MXU)
+        print("== fp32 HIGHEST in-kernel ceilings ==", flush=True)
+        for name, args, kw in [
+            ("fw QK d=64 [512x1024]", (512, 64, 1024),
+             dict(contract_last_b=True)),
+            ("fw QK d=128 [512x1024]", (512, 128, 1024),
+             dict(contract_last_b=True, reps=2)),
+            ("fw PV N=65 [512,1024]", (512, 1024, 65), dict(reps=2)),
+            ("fw PV N=129 d=128", (512, 1024, 129), dict(reps=2)),
+            ("bw QK d=64 [512x512]", (512, 64, 512),
+             dict(contract_last_b=True)),
+            ("bw dV/dK [512c]x[.,65]", (512, 512, 65), dict(reps=2)),
+        ]:
+            time_dot(name, *args, dtype=jnp.float32, **kw)
+        return
     print("== forward QK^T: [512,K]x[K,1024] (contract d) ==", flush=True)
     time_dot("fw QK native d=64", 512, 64, 1024, contract_last_b=True)
     time_dot("fw QK padded d=64->128", 512, 128, 1024,
