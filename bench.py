@@ -70,6 +70,35 @@ def main():
     point = roofline(flash.mean_ms, flops,
                      attention_bytes(B, H, L, d, fwd_and_bwd=True))
 
+    # INT8-KV north star (BASELINE.md:24-28): fw+bw with int8 KV codes
+    # through both passes, at a long-context shape where KV bytes matter,
+    # vs the bf16 kernel on the same shape.  int8kv_vs_bf16 > 1 means the
+    # quantized path is FASTER than bf16 at this length.
+    B8, L8 = 1, 8192
+    q8, k8, v8, do8 = (
+        jnp.asarray(rng.standard_normal((B8, H, L8, d)), jnp.bfloat16)
+        for _ in range(4)
+    )
+    flops8 = attention_flops(B8, H, L8, d, causal=True, fwd_and_bwd=True)
+
+    def fwbw8(attn):
+        def f(q, k, v):
+            def loss(q, k, v):
+                return jnp.sum(attn(q, k, v).astype(jnp.float32)
+                               * do8.astype(jnp.float32))
+            return jax.grad(loss, (0, 1, 2))(q, k, v)
+        return f
+
+    bf16_8k = benchmark(
+        fwbw8(lambda q, k, v: flash_attention(q, k, v, causal=True)),
+        q8, k8, v8, name="fa2_fwbw_8k", flops=flops8)
+    int8_8k = benchmark(
+        fwbw8(lambda q, k, v: flash_attention(q, k, v, causal=True,
+                                              kv_quant="int8")),
+        q8, k8, v8, name="fa2_fwbw_8k_int8", flops=flops8)
+    point8 = roofline(int8_8k.mean_ms, flops8,
+                      attention_bytes(B8, H, L8, d, fwd_and_bwd=True))
+
     print(json.dumps({
         "metric": "fa2_fwbw_causal_bf16_L2048_tflops",
         "value": round(flash.tflops, 2),
@@ -80,6 +109,9 @@ def main():
         "fw_ms": round(fw.mean_ms, 4),
         "bw_ms": round(bw_ms, 4),
         "roofline_frac": round(point.fraction, 3),
+        "int8kv_L8k_tflops": round(int8_8k.tflops, 2),
+        "int8kv_L8k_roofline_frac": round(point8.fraction, 3),
+        "int8kv_vs_bf16_L8k": round(bf16_8k.mean_ms / int8_8k.mean_ms, 3),
         "roofline_ceiling": point.ceiling.name,
     }))
 

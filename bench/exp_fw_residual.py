@@ -106,9 +106,10 @@ def main():
     flops = attention_flops(B, H, L, D, causal=True)
 
     print("== production forward: (q_pack, block_q, block_k) sweep ==")
+    # two live fp32 score tiles must fit VMEM: block_q*block_k*8B <~ 12MB
     for pack, bq, bk in [(4, 512, 1024), (4, 512, 2048), (2, 1024, 1024),
-                         (2, 1024, 2048), (1, 2048, 1024), (1, 2048, 2048),
-                         (4, 512, 512), (2, 512, 1024)]:
+                         (4, 512, 512), (2, 512, 1024), (8, 256, 1024),
+                         (8, 256, 2048)]:
         if bq * pack > L or bk > L:
             continue
         r = benchmark(

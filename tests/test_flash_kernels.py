@@ -33,7 +33,8 @@ def make(rng, shape, dtype=jnp.float32):
 @pytest.mark.parametrize("causal", [False, True])
 def test_forward_parity(rng, shape, causal):
     q, k, v = make(rng, shape)
-    out, lse, m = flash_attention_forward(q, k, v, causal=causal)
+    out, lse, m = flash_attention_forward(q, k, v, causal=causal,
+                                          with_m=True)
     expected = ref.naive_attention(q, k, v, causal=causal)
     np.testing.assert_allclose(out, expected, **FW_TOL)
 
@@ -163,7 +164,7 @@ def test_empty_rows_convention_lq_gt_lk(rng):
     outs = {}
     for bq, bk in ((128, 128), (64, 64)):   # different tile alignments
         out, lse, m = flash_attention_forward(
-            q, k, v, causal=True, block_q=bq, block_k=bk)
+            q, k, v, causal=True, block_q=bq, block_k=bk, with_m=True)
         np.testing.assert_array_equal(np.asarray(out[:, :, :60]), 0.0)
         assert bool(jnp.all(jnp.isneginf(lse[:, :, :60])))
         assert bool(jnp.all(jnp.isfinite(lse[:, :, 60:])))

@@ -151,7 +151,12 @@ def train_epoch(model, opt, params, opt_state, examples, collate_fn,
         else:
             train_step = make_train_step(model, opt,
                                          chunked_vocab=chunked_vocab)
-    rng = np.random.default_rng(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+    # Host-side shuffle seed from the key's raw data: a transfer, not a
+    # compile — the previous eager jax.random.randint was this loop's only
+    # eagerly-compiled op, and one slow remote compile of it stalled epoch
+    # startup by minutes on a cold compile cache.
+    rng = np.random.default_rng(
+        np.asarray(jax.random.key_data(key)).ravel().tolist())
     order = rng.permutation(len(examples))
     if n_samples:
         order = order[:n_samples]

@@ -46,6 +46,12 @@ def fp8_e4m3_to_bf16(codes: jax.Array) -> jax.Array:
     quantized cache surfaces instead of decoding as a finite +/-448.
     Works identically in interpret mode (plain lax ops).
     """
+    # Integer arithmetic stays in int32: Mosaic fails to legalize
+    # `arith.shli` on packed 16-bit vectors (and canonicalizes *16 /
+    # *256 multiplies back into shifts), so a uint16-domain version cannot
+    # compile; i32 shifts lower fine.  The round-2 fp8-decode slowness was
+    # NOT this convert but the halved KV tiles that came with the old
+    # fp32-staging footprint — the tile cap is gone (kernels/decode.py).
     x = jax.lax.bitcast_convert_type(codes, jnp.int8).astype(jnp.int32) & 0xFF
     sign = (x & 0x80) << 8
     em = x & 0x7F

@@ -583,14 +583,15 @@ def _fwd_kernel(
         # lse = m2/log2(e) + ln(l),  m = m2/log2(e).
         m_nat = m_fin * (1.0 / LOG2E)
         lse_ref[0] = jnp.where(empty, -jnp.inf, m_nat + jnp.log(l_safe))
-        m_out_ref[0] = jnp.where(empty, -jnp.inf, m_nat)
+        if m_out_ref is not None:
+            m_out_ref[0] = jnp.where(empty, -jnp.inf, m_nat)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
                      "dropout_rate", "window", "q_offset", "kv_layout",
-                     "fast_exp", "interpret"),
+                     "fast_exp", "with_m", "interpret"),
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -609,6 +610,7 @@ def flash_attention_forward(
     q_offset: int | None = None,
     kv_layout: str = "ld",
     fast_exp: bool | None = None,
+    with_m: bool = False,
     interpret: bool | None = None,
 ):
     """Flash-attention forward over [B, H, L, d] inputs.
@@ -787,58 +789,90 @@ def flash_attention_forward(
         window=window, segmented=segmented, fast_exp=fast_exp,
         patterns=patterns,
     )
+    # Specs and operands are built CONDITIONALLY: dummy scale/segment
+    # blocks still cost per-grid-step pipeline bookkeeping on the scalar
+    # core (~the 1.3 us/step fixed cost scales with spec count), so the
+    # common unquantized/unsegmented call carries 3 inputs, not 7 — and
+    # the m output (FA1 residual reporting only) is emitted on request.
+    in_specs = [
+        pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec(kv_block, kv_index),
+        pl.BlockSpec(kv_block, kv_index),
+    ]
+    operands = [qf, kf, vf]
+    if quantized:
+        in_specs += [pl.BlockSpec(scale_block, scale_index),
+                     pl.BlockSpec(scale_block, scale_index)]
+        operands += [ksf, vsf]
+    if segmented:
+        in_specs += [pl.BlockSpec(qseg_block, qseg_index),
+                     pl.BlockSpec(kseg_block, kseg_index)]
+        operands += [qsegf, ksegf]
+    row_spec = pl.BlockSpec((1, group_q, 1),
+                            lambda b, t, im, jm, *r: (b, im[t], 0))
+    out_specs = [
+        pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        row_spec,
+    ] + ([row_spec] if with_m else [])
+    out_shape = [
+        jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
+        jax.ShapeDtypeStruct((B * H, pLq, 1), jnp.float32),
+    ] + ([jax.ShapeDtypeStruct((B * H, pLq, 1), jnp.float32)]
+         if with_m else [])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B * H, len(imap)),
-        in_specs=[
-            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-            pl.BlockSpec(kv_block, kv_index),
-            pl.BlockSpec(kv_block, kv_index),
-            pl.BlockSpec(scale_block, scale_index),
-            pl.BlockSpec(scale_block, scale_index),
-            pl.BlockSpec(qseg_block, qseg_index),
-            pl.BlockSpec(kseg_block, kseg_index),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
-            pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((group_q, d + 1 if fold_l else d), jnp.float32),
             pltpu.VMEM((group_q, 1), jnp.float32),
         ] + ([] if fold_l else [pltpu.VMEM((group_q, 1), jnp.float32)]),
     )
 
-    def kernel_wrapper(im, jm, fl, pt, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r,
-                       ks2_r, o_r, lse_r, m_r, *scratch):
+    def kernel_wrapper(im, jm, fl, pt, sd, *rest):
+        rest = list(rest)
+        q_r, k_r, v_r = rest[:3]
+        i = 3
+        ks_r = vs_r = qs_r = ks2_r = None
+        if quantized:
+            ks_r, vs_r = rest[i:i + 2]
+            i += 2
+        if segmented:
+            qs_r, ks2_r = rest[i:i + 2]
+            i += 2
+        o_r, lse_r = rest[i:i + 2]
+        i += 2
+        m_r = None
+        if with_m:
+            m_r = rest[i]
+            i += 1
+        scratch = rest[i:]
         if fold_l:
             acc, m_s = scratch
-            kernel(im, jm, fl, pt, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r,
-                   ks2_r, o_r, lse_r, m_r, acc, m_s, None)
+            l_s = None
         else:
             acc, m_s, l_s = scratch
-            kernel(im, jm, fl, pt, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r,
-                   ks2_r, o_r, lse_r, m_r, acc, m_s, l_s)
+        kernel(im, jm, fl, pt, sd, q_r, k_r, v_r, ks_r, vs_r, qs_r,
+               ks2_r, o_r, lse_r, m_r, acc, m_s, l_s)
 
-    out, lse, m = pl.pallas_call(
+    results = pl.pallas_call(
         kernel_wrapper,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
-            jax.ShapeDtypeStruct((B * H, pLq, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B * H, pLq, 1), jnp.float32),
-        ],
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(jnp.asarray(imap), jnp.asarray(jmap), jnp.asarray(flags),
-      jnp.asarray(patv), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf)
+      jnp.asarray(patv), seed_arr, *operands)
 
+    out, lse = results[0], results[1]
     out = out[:, :Lq].reshape(B, H, Lq, d)
     lse = lse[:, :Lq, 0].reshape(B, H, Lq)
-    m = m[:, :Lq, 0].reshape(B, H, Lq)
+    if not with_m:
+        return out, lse, None
+    m = results[2][:, :Lq, 0].reshape(B, H, Lq)
     return out, lse, m
 
 
@@ -1326,18 +1360,47 @@ def flash_attention_backward(
     # engages with the wide tile.
     fused = will_fuse
 
+    # Dummy scale/segment specs cost per-grid-step pipeline bookkeeping
+    # (like the forward): only live operands ride the spec list; a shared
+    # wrapper reinserts None refs for the kernel signatures.
     common_in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
         pl.BlockSpec(kv_block, kv_index),
         pl.BlockSpec(kv_block, kv_index),
-        pl.BlockSpec(scale_block, scale_index),
-        pl.BlockSpec(scale_block, scale_index),
-        pl.BlockSpec(qseg_block, qseg_index),
-        pl.BlockSpec(kseg_block, kseg_index),
+    ]
+    common_operands = [qf, kf, vf]
+    if quantized:
+        common_in_specs += [pl.BlockSpec(scale_block, scale_index),
+                            pl.BlockSpec(scale_block, scale_index)]
+        common_operands += [ksf, vsf]
+    if segmented:
+        common_in_specs += [pl.BlockSpec(qseg_block, qseg_index),
+                            pl.BlockSpec(kseg_block, kseg_index)]
+        common_operands += [qsegf, ksegf]
+    common_in_specs += [
         pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
         pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
         pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
     ]
+    common_operands += [dof, lsef, deltaf]
+
+    def _wrap_bwd(kernel_fn):
+        def wrapper(im, jm, fl, wm, sd, *rest):
+            rest = list(rest)
+            q_r, k_r, v_r = rest[:3]
+            i = 3
+            ks_r = vs_r = qs_r = ks2_r = None
+            if quantized:
+                ks_r, vs_r = rest[i:i + 2]
+                i += 2
+            if segmented:
+                qs_r, ks2_r = rest[i:i + 2]
+                i += 2
+            do_r, lse_r, dl_r = rest[i:i + 3]
+            i += 3
+            kernel_fn(im, jm, fl, wm, sd, q_r, k_r, v_r, ks_r, vs_r,
+                      qs_r, ks2_r, do_r, lse_r, dl_r, *rest[i:])
+        return wrapper
     kv_out_specs = [
         pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
         pl.BlockSpec((1, block_k, d), lambda b, t, im, jm, *r: (b, jm[t], 0)),
@@ -1366,7 +1429,7 @@ def flash_attention_backward(
             ],
         )
         dk, dv, dq = pl.pallas_call(
-            fused_kernel,
+            _wrap_bwd(fused_kernel),
             grid_spec=fused_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
@@ -1378,8 +1441,7 @@ def flash_attention_backward(
             ),
             interpret=interpret,
         )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-          jnp.asarray(kv_wmap), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf,
-          dof, lsef, deltaf)
+          jnp.asarray(kv_wmap), seed_arr, *common_operands)
         dq = dq[:, :Lq].reshape(B, H, Lq, d)
         dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
         return dq, dk, dv
@@ -1402,7 +1464,7 @@ def flash_attention_backward(
         ],
     )
     dk, dv = pl.pallas_call(
-        dkv_kernel,
+        _wrap_bwd(dkv_kernel),
         grid_spec=dkv_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
@@ -1413,8 +1475,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-      jnp.asarray(kv_wmap), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf,
-      dof, lsef, deltaf)
+      jnp.asarray(kv_wmap), seed_arr, *common_operands)
 
     q_imap, q_jmap, q_flags, q_wmap, q_widths = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
@@ -1439,7 +1500,7 @@ def flash_attention_backward(
         ],
     )
     (dq,) = pl.pallas_call(
-        dq_kernel,
+        _wrap_bwd(dq_kernel),
         grid_spec=dq_spec,
         out_shape=[
             jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
@@ -1449,8 +1510,7 @@ def flash_attention_backward(
         ),
         interpret=interpret,
     )(jnp.asarray(q_imap), jnp.asarray(q_jmap), jnp.asarray(q_flags),
-      jnp.asarray(q_wmap), seed_arr, qf, kf, vf, ksf, vsf, qsegf, ksegf,
-      dof, lsef, deltaf)
+      jnp.asarray(q_wmap), seed_arr, *common_operands)
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
     dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))

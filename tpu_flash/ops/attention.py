@@ -93,12 +93,16 @@ _flash_attention_quantkv.defvjp(
 
 
 def _forward_impl(q, k, v, causal, impl, dropout_rate=0.0, seed=0,
-                  window=None, seg=None):
-    """Returns (out, lse, m) under the chosen implementation."""
+                  window=None, seg=None, with_m=False):
+    """Returns (out, lse, m) under the chosen implementation (``m`` is
+    None unless ``with_m`` — only FA1-style residual reporting needs it,
+    and emitting it costs the kernel an extra output spec per grid step).
+    """
     if impl == "pallas":
         return flash_attention_forward(
             q, k, v, causal=causal, dropout_rate=dropout_rate,
-            dropout_seed=seed, window=window, segment_ids=seg)
+            dropout_seed=seed, window=window, segment_ids=seg,
+            with_m=with_m)
     if impl == "reference" and dropout_rate == 0.0 and window is None \
             and seg is None:
         out, lse = ref.flash_attention2_fw_reference(q, k, v, causal=causal)
@@ -369,7 +373,7 @@ def flash_attention_with_residuals(
     ``(out, lse)`` for version=2, ``(out, l, m)`` for version=1 — the same
     tuples the reference's launchers emit (cuda_kernel_ops.py:577-581)."""
     impl = resolve_impl(impl)
-    out, lse, m = _forward_impl(q, k, v, causal, impl)
+    out, lse, m = _forward_impl(q, k, v, causal, impl, with_m=(version == 1))
     if version == 2:
         return out, lse
     return out, jnp.exp(lse - m), m
