@@ -282,12 +282,11 @@ def flash_decode_attention(
     while (2 * cap) * 2 * HD * itemsize <= VMEM_TILE_BUDGET \
             and cap < (1 << 20):
         cap *= 2
-    if jnp.dtype(k_cache.dtype) == jnp.float8_e4m3fn:
-        # The fp8 bit-reconstruction (common.fp8_e4m3_to_bf16) holds int32
-        # temps over the tile: the itemsize-1 budget undercounts them (the
-        # old astype path staged through fp32 and OOM'd scoped vmem at
-        # HD=1024/block_s=1024).  Halve the tile for fp8 caches.
-        cap = max(128, cap // 2)
+    # fp8 needs no special tile cap anymore: the bit reconstruction
+    # (common.fp8_e4m3_to_bf16) runs entirely in uint16, so its in-flight
+    # temps cost the same 2 bytes/elt as int8's bf16 dequant cast (the old
+    # int32/fp32 staging forced halved fp8 tiles and ~280 GB/s effective —
+    # bench/exp_fp8_convert.py, RESULTS.md round-2).
     block_s = min(block_s, cap)
     block_s = min(block_s, round_up(S, 128))
     pS = round_up(S, block_s)
