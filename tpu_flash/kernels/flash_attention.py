@@ -88,22 +88,24 @@ from tpu_flash.kernels.common import (
     round_up,
 )
 
-# Round-2 retune (bench/exp_width_retune.py, headline shape, width-classed
-# kernels): the forward prefers FOUR packed 512-row Q sub-tiles per grid
-# step against 1024-col KV tiles (0.376 ms vs 0.398 for 2x512x1024 — the
-# bigger group means fewer grid steps and 33% fewer KV re-reads, and the
-# software-pipelined chains keep only two fp32 score tiles live, see
-# ``q_pack`` in the kernel); 512x2048 measured 0.371 but with ~2x the
-# scores VMEM — kept as a sweep option, not the default.  The fused
+# Round-3 retune (bench/exp_fw_residual.py, headline shape, spec-trimmed
+# kernels): the forward prefers EIGHT packed 256-row Q sub-tiles per grid
+# step against 1024-col KV tiles (0.354 ms vs 0.357 for 4x512x1024 and
+# 0.419 for 2x1024x1024) — same 2048-row group (one Q/O fetch per bh),
+# finer chains pipeline the VPU tail better, and the two live fp32 score
+# tiles stay small ([256, bk]).  The DMA floor probe puts this schedule's
+# streaming at ~607-722 GB/s with the whole 34 MB in 0.046-0.055 ms, so
+# KV bytes are NOT the forward's residual — remaining gap to the ~0.235 ms
+# executed-dot floor is pipeline serialization.  The fused
 # backward prefers 512x2048 (0.792 ms vs 0.822 at 512x1024, 0.869 at the
 # round-1 512x512 default): the width classes make wide KV tiles cheap
 # (diagonal pairs run at their live width), so fewer/bigger steps win.
 # Packing the backward measured neutral (bench/exp_bw_interleave.py), so
 # it stays single-chain.  Smaller sequences clamp to the (8-aligned)
 # length.
-DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_Q = 256
 DEFAULT_BLOCK_K = 1024
-DEFAULT_Q_PACK = 4
+DEFAULT_Q_PACK = 8
 DEFAULT_BLOCK_Q_BWD = 512
 DEFAULT_BLOCK_K_BWD = 2048
 
@@ -697,8 +699,10 @@ def flash_attention_forward(
         # splits in scoped VMEM: the pack-4 group OOM'd at 22.27M scoped
         # vmem (L=8192 fp32); two chains fit everywhere measured.
         q_pack = min(q_pack, 2)
-    if round_up(Lq, block_q) // block_q < q_pack:
-        q_pack = 1                    # single Q tile: nothing to pack
+    # Clamp the pack to the tiles that exist: a short sequence packs as
+    # many sub-tiles as it has (round-2's clamp dropped straight to 1,
+    # silently unpacking every L <= group_q call).
+    q_pack = max(1, min(q_pack, round_up(Lq, block_q) // block_q))
     group_q = q_pack * block_q
     pLq, pLk = round_up(Lq, group_q), round_up(Lk, block_k)
     padded_kv = pLk != Lk
