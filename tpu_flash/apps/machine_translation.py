@@ -64,7 +64,12 @@ def make_loss_fn(model, chunked_vocab: int = 0, ctx=None):
         weighted = losses * batch["label_token_weights"]
         if "loss_norm" in batch:
             return jnp.sum(weighted) / batch["loss_norm"]
-        return jnp.mean(weighted)
+        # mean written as sum/size: identical math, but the fused
+        # jnp.mean-form reduce in this program reproducibly CRASHES the
+        # TPU worker at compile on the 2026-08 pool toolchain (isolated
+        # in /tmp/rmean.log vs /tmp/rs2.log — same step, only the mean
+        # changed); the sum form compiles fine.
+        return jnp.sum(weighted) / weighted.size
     return loss_fn
 
 
