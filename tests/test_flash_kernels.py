@@ -336,3 +336,26 @@ def test_kv_layout_dl_matches_ld(rng):
         do, None, ks, vs, causal=True, kv_layout="dl")
     for a, b in zip(g1, g2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("q_pack", [1, 2, 4])
+@pytest.mark.parametrize("shape", [(1, 2, 512, 64), (1, 1, 456, 32)])
+def test_backward_q_pack_parity(rng, shape, q_pack):
+    """The packed fused backward (q_pack sub-tiles per grid step,
+    _packed_kv_schedule) must match the jax.grad oracle at every pack,
+    including the padded-group path (456 rounds up to the group size)."""
+    q, k, v = make(rng, shape)
+    do = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    out, lse, _ = flash_attention_forward(q, k, v, causal=True,
+                                          block_q=64, block_k=128)
+    dq, dk, dv = flash_attention_backward(
+        q, k, v, out, lse, do, causal=True, block_q=64, block_k=128,
+        q_pack=q_pack)
+
+    def loss(q, k, v):
+        return jnp.sum(ref.naive_attention(q, k, v, causal=True) * do)
+
+    dq_e, dk_e, dv_e = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(dq, dq_e, **BW_TOL)
+    np.testing.assert_allclose(dk, dk_e, **BW_TOL)
+    np.testing.assert_allclose(dv, dv_e, **BW_TOL)

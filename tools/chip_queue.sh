@@ -19,9 +19,10 @@ while true; do
   log="${line%%|*}"; rest="${line#*|}"; cap="${rest%%|*}"; cmd="${rest#*|}"
   for attempt in 1 2; do
     echo "=== $(date +%H:%M:%S) start($attempt) cap=${cap}s: $cmd" >> "$STATUS"
-    stdbuf -oL timeout "$cap" bash -c "$cmd" > "$log" 2>&1
+    stdbuf -oL timeout "$cap" bash -c "$cmd" > "$log.$attempt" 2>&1
     rc=$?
-    echo "rc=$rc" >> "$log"
+    echo "rc=$rc" >> "$log.$attempt"
+    cp "$log.$attempt" "$log"
     echo "=== $(date +%H:%M:%S) done($attempt) rc=$rc: $cmd" >> "$STATUS"
     [ "$rc" -eq 0 ] && break
     sleep 600

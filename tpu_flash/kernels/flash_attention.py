@@ -232,6 +232,82 @@ def _width_class(live_cols: int, block_k: int) -> int:
     return min(block_k, round_up(live_cols, gran))
 
 
+def _subtile_width(i, j, *, block_q, block_k, causal, q_offset, kv_len,
+                   window=None):
+    """Static KV-column width the (absolute q sub-tile i, kv tile j) pair
+    computes: 0 for a dead pair, ``block_k`` for a full tile, a width class
+    in between for tiles the causal diagonal cuts.  Shared by the forward's
+    packed schedule and the backward's packed KV-outer schedule so the two
+    cannot drift."""
+    if j * block_k >= kv_len:
+        return 0
+    first_row = q_offset + i * block_q
+    last_row = q_offset + (i + 1) * block_q - 1
+    if causal and j * block_k > last_row:
+        return 0              # tile entirely beyond the causal range
+    if window is not None and (j + 1) * block_k - 1 <= first_row - window:
+        return 0              # tile entirely behind the sliding window
+    if window is not None and j * block_k < first_row - window + 1:
+        # the window cuts the LEFT side of the tile: no left-trim
+        # support — full width, in-kernel mask handles it
+        return block_k
+    hi = min(kv_len, (j + 1) * block_k)
+    if causal:
+        hi = min(hi, last_row + 1)
+    return _width_class(hi - j * block_k, block_k)
+
+
+def _packed_kv_schedule(num_groups, num_kv, *, block_q, block_k, causal,
+                        q_offset, kv_len, q_pack, window=None):
+    """Trace-time schedule for the packed fused backward: KV tiles OUTER
+    (dK/dV accumulate per KV tile), and inside each KV tile the q_pack-
+    sub-tile Q groups that contain at least one live pair.
+
+    Returns ``(gmap, jmap, flags, pat, patterns)`` exactly like
+    ``_packed_schedule``: FIRST/LAST flag the KV-tile boundaries
+    (accumulator reset / dK/dV write), LIVE marks real visits (dead KV
+    tiles — possible only with windows or KV padding — get one forced
+    visit so their output blocks are written), ``patterns[pat[t]][h]`` is
+    sub-tile h's static width class on this visit.
+
+    This is the backward's step-count lever: at L=8192 (512x1024 tiles)
+    the unpacked schedule runs 72 live pairs per (batch, head) and the
+    measured ~1.3 us/grid-step fixed cost alone is ~0.75 ms of the
+    backward; packing 8x256 sub-tiles per group cuts it to 20 steps.
+    Round 2's "packing is neutral" verdict (bench/exp_bw_interleave.py)
+    was measured at L=2048 where the unpacked schedule is 4-6 steps."""
+    entries = []
+    patterns: list[tuple[int, ...]] = []
+    pattern_ids: dict[tuple[int, ...], int] = {}
+
+    def pat_id(vec):
+        if vec not in pattern_ids:
+            pattern_ids[vec] = len(patterns)
+            patterns.append(vec)
+        return pattern_ids[vec]
+
+    def width(g, h, j):
+        return _subtile_width(
+            g * q_pack + h, j, block_q=block_q, block_k=block_k,
+            causal=causal, q_offset=q_offset, kv_len=kv_len, window=window)
+
+    for j in range(num_kv):
+        gs = [g for g in range(num_groups)
+              if any(width(g, h, j) for h in range(q_pack))]
+        forced = not gs
+        if forced:
+            gs = [num_groups - 1]
+        for idx, g in enumerate(gs):
+            f = (_FIRST if idx == 0 else 0) \
+                | (_LAST if idx == len(gs) - 1 else 0) \
+                | (0 if forced else _LIVE)
+            vec = tuple(0 if forced else width(g, h, j)
+                        for h in range(q_pack))
+            entries.append((g, j, f, pat_id(vec)))
+    arr = np.asarray(entries, np.int32)
+    return arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3], tuple(patterns)
+
+
 def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
                      q_offset, kv_len, q_pack, window=None):
     """Trace-time schedule for the forward: one visit list of
@@ -250,22 +326,9 @@ def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
     shape was ~1.4x the counted work).  ``q_pack=1`` reduces to the classic
     per-tile schedule."""
     def width(g, h, j):
-        if j * block_k >= kv_len:
-            return 0
-        first_row = q_offset + (g * q_pack + h) * block_q
-        last_row = q_offset + (g * q_pack + h + 1) * block_q - 1
-        if causal and j * block_k > last_row:
-            return 0              # tile entirely beyond the causal range
-        if window is not None and (j + 1) * block_k - 1 <= first_row - window:
-            return 0              # tile entirely behind the sliding window
-        if window is not None and j * block_k < first_row - window + 1:
-            # the window cuts the LEFT side of the tile: no left-trim
-            # support — full width, in-kernel mask handles it
-            return block_k
-        hi = min(kv_len, (j + 1) * block_k)
-        if causal:
-            hi = min(hi, last_row + 1)
-        return _width_class(hi - j * block_k, block_k)
+        return _subtile_width(
+            g * q_pack + h, j, block_q=block_q, block_k=block_k,
+            causal=causal, q_offset=q_offset, kv_len=kv_len, window=window)
 
     entries = []
     patterns: list[tuple[int, ...]] = []
@@ -884,26 +947,13 @@ def flash_attention_forward(
 # Backward
 # ---------------------------------------------------------------------------
 
-def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
-              block_k, kv_len, padded_kv, q_offset, d,
-              dropout_rate=0.0, b=None, h=None, seed=None, window=None,
-              qseg=None, kseg=None, fast_exp=False,
-              kscale=None, vscale=None):
-    """Shared backward recompute for one (q, kv) tile pair: returns
-    ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
-    the three cannot drift apart.  ``p_dv`` is the matrix that left-multiplies
-    dO for dV: the plain softmax ``p`` without dropout, and the
-    mask-scaled ``p * keep/(1-rate)`` with it.
-
-    Dropout math (out = (P∘M/(1-r)) V with M the keep mask): the saved
-    ``delta = rowsum(dO·O)`` already equals ``rowsum(P ∘ dP̃)`` for
-    ``dP̃ = (dO Vᵀ)∘M/(1-r)``, so ``ds = p∘(dP̃ - delta)`` holds with the
-    same delta — only dp and the dV operand pick up the regenerated mask.
-
-    Rows with ``lse = -inf`` (empty attention: no visible keys under the
-    causal mask, see the forward epilogue) contribute exactly zero:
-    ``exp2(s - inf) == 0`` guards what would otherwise be ``exp2(+inf)``.
-    """
+def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
+               kv_len, padded_kv, q_offset, window=None,
+               qseg=None, kseg=None, kscale=None, vscale=None):
+    """First half of the backward recompute for one (q, kv) tile pair: the
+    two leading MXU dots (masked base-2 scores ``s2`` and ``dp = dO Vᵀ``)
+    — independent of the VPU exp/ds chain, so the packed fused kernel can
+    issue sub-tile h+1's dots before finishing sub-tile h."""
     qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     if kscale is not None:
         # quantized: k/v are d-major RAW code tiles [d, w]; the per-key
@@ -917,6 +967,22 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
             s2, i, j, block_q=block_q, block_k=block_k,
             causal=causal, kv_len=kv_len, q_offset=q_offset,
             padded_kv=padded_kv, window=window, qseg=qseg, kseg=kseg)
+    if vscale is not None:
+        dp = _dot(do, v, ((1,), (0,))) * vscale
+    else:
+        dp = _dot(do, v, ((1,), (1,)))
+    return s2, dp
+
+
+def _bwd_finish(s2, dp, lse, delta, i, j, *, block_q, block_k,
+                dropout_rate=0.0, b=None, h=None, seed=None,
+                fast_exp=False):
+    """Second half: the VPU exp/dropout/ds chain.  Returns ``(p_dv, ds)``.
+
+    Rows with ``lse = -inf`` (empty attention: no visible keys under the
+    causal mask, see the forward epilogue) contribute exactly zero:
+    ``exp2(s - inf) == 0`` guards what would otherwise be ``exp2(+inf)``.
+    """
     lse2 = jnp.where(jnp.isneginf(lse), jnp.inf, lse * LOG2E)
     # fast_exp (bf16 inputs): the whole p/ds tail runs on bf16 vectors —
     # exp2 at double lanes, and p/ds feed the five MXU dots with no
@@ -924,10 +990,6 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
     # operands were cast to bf16 for the dots before anyway).
     p_dtype = jnp.bfloat16 if fast_exp else jnp.float32
     p = jnp.exp2((s2 - lse2).astype(p_dtype))       # [bq, bk]
-    if vscale is not None:
-        dp = _dot(do, v, ((1,), (0,))) * vscale
-    else:
-        dp = _dot(do, v, ((1,), (1,)))
     if dropout_rate > 0.0:
         # The keep mask scales dp BEFORE the delta subtraction
         # (ds = p ∘ (dP̃ - delta) with dP̃ = (dO Vᵀ)∘M/(1-r)).
@@ -940,6 +1002,33 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
         p_dv = p
     ds = p * (dp - delta).astype(p_dtype)
     return p_dv, ds
+
+
+def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
+              block_k, kv_len, padded_kv, q_offset, d,
+              dropout_rate=0.0, b=None, h=None, seed=None, window=None,
+              qseg=None, kseg=None, fast_exp=False,
+              kscale=None, vscale=None):
+    """Shared backward recompute for one (q, kv) tile pair: returns
+    ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
+    the three cannot drift apart (the fused kernel calls the two halves
+    directly to software-pipeline packed sub-tiles).  ``p_dv`` is the matrix
+    that left-multiplies dO for dV: the plain softmax ``p`` without dropout,
+    and the mask-scaled ``p * keep/(1-rate)`` with it.
+
+    Dropout math (out = (P∘M/(1-r)) V with M the keep mask): the saved
+    ``delta = rowsum(dO·O)`` already equals ``rowsum(P ∘ dP̃)`` for
+    ``dP̃ = (dO Vᵀ)∘M/(1-r)``, so ``ds = p∘(dP̃ - delta)`` holds with the
+    same delta — only dp and the dV operand pick up the regenerated mask.
+    """
+    s2, dp = _bwd_s2_dp(
+        q, k, v, do, i, j, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, kv_len=kv_len, padded_kv=padded_kv,
+        q_offset=q_offset, window=window, qseg=qseg, kseg=kseg,
+        kscale=kscale, vscale=vscale)
+    return _bwd_finish(
+        s2, dp, lse, delta, i, j, block_q=block_q, block_k=block_k,
+        dropout_rate=dropout_rate, b=b, h=h, seed=seed, fast_exp=fast_exp)
 
 
 def _bwd_dkv_kernel(
@@ -1063,29 +1152,38 @@ def _bwd_dq_kernel(
 
 
 def _bwd_fused_kernel(
-    imap_ref, jmap_ref, flags_ref, wmap_ref, seed_ref,
+    imap_ref, jmap_ref, flags_ref, pat_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
     n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
-    widths,
+    q_pack, patterns,
 ):
     """Single-pass backward: dK/dV accumulate per KV tile as in
     ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
-    scratch (``[pLq, d(+1)]``) indexed by the current Q tile — the grid for
-    one (batch, head) runs sequentially on a TensorCore, so this is the
+    scratch (``[pLq, d(+1)]``) indexed by the current Q sub-tile — the grid
+    for one (batch, head) runs sequentially on a TensorCore, so this is the
     race-free TPU replacement for the reference's ``atomicAdd`` dQ
     (src/flash_attn2_bw.cpp:228) that also skips the entire second pass
     (and its recomputation of S and dP: 5 MXU dots per tile pair instead
-    of 7, plus one less read of Q/K/V/dO).  Each pair runs its dots at the
-    pair's static width class (see ``_tile_schedule``)."""
+    of 7, plus one less read of Q/K/V/dO).
+
+    Like the forward, each grid step processes a GROUP of ``q_pack``
+    consecutive Q sub-tiles against the current KV tile (amortizing the
+    ~1.3 us fixed grid-step cost — the dominant backward residual at long
+    L, see ``_packed_kv_schedule``), each sub-tile's dots at its static
+    width class, with the chains software-pipelined one step ahead: sub-
+    tile h+1's two leading dots (s2, dp) are issued before sub-tile h's
+    VPU exp/ds chain and accumulation dots, so independent chains' MXU and
+    VPU phases overlap while at most two sub-tiles' score tiles are live
+    in scoped VMEM (all-dots-first would OOM exactly like the forward)."""
     t = pl.program_id(1)
     bh = pl.program_id(0)
     gb, gh = _global_bh(bh, n_heads, seed_ref)
     flags = flags_ref[t]
-    wc = wmap_ref[t]
+    pat = pat_ref[t]
 
     @pl.when(t == 0)
     def _init_dq():
@@ -1096,30 +1194,40 @@ def _bwd_fused_kernel(
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    def _body(w):
-        q, do = q_ref[0], do_ref[0]
+    def dots(h, w):
+        """Sub-tile h's two leading MXU dots at width w."""
+        sel = pl.ds(h * block_q, block_q)
         if quantized:
             kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
             vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
             kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
         else:
-            kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
+            kq, vq = k_ref[0, :w], v_ref[0, :w]             # [w, d]
             kscale = vscale = None
-        p, ds = _bwd_p_ds(
-            q, kq, vq, do, lse_ref[0], delta_ref[0],
-            imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, kv_len=kv_len,
-            padded_kv=padded_kv, q_offset=q_offset, d=d,
-            dropout_rate=dropout_rate, b=gb, h=gh,
-            seed=seed_ref[0], window=window,
-            qseg=qseg_ref[0] if segmented else None,
+        s2, dp = _bwd_s2_dp(
+            q_ref[0, sel], kq, vq, do_ref[0, sel],
+            imap_ref[t] * q_pack + h, jmap_ref[t], scale=scale,
+            causal=causal, block_q=block_q, block_k=block_k, kv_len=kv_len,
+            padded_kv=padded_kv, q_offset=q_offset, window=window,
+            qseg=qseg_ref[0, sel] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
-            fast_exp=fast_exp, kscale=kscale, vscale=vscale)
+            kscale=kscale, vscale=vscale)
+        return s2, dp, kq, kscale
+
+    def finish(s2, dp, kq, kscale, h, w):
+        """Sub-tile h's VPU chain + the three accumulation dots."""
+        sel = pl.ds(h * block_q, block_q)
+        p, ds = _bwd_finish(
+            s2, dp, lse_ref[0, sel], delta_ref[0, sel],
+            imap_ref[t] * q_pack + h, jmap_ref[t], block_q=block_q,
+            block_k=block_k, dropout_rate=dropout_rate, b=gb, h=gh,
+            seed=seed_ref[0], fast_exp=fast_exp)
+        q, do = q_ref[0, sel], do_ref[0, sel]
         dv_acc[0:w] += _dot(p.astype(do.dtype),
                             _ones_col(do) if aug else do, ((0,), (0,)))
         dk_acc[0:w] += _dot(ds.astype(q.dtype),
                             _ones_col(q) if aug else q, ((0,), (0,)))
-        row0 = pl.multiple_of(imap_ref[t] * block_q, block_q)
+        row0 = pl.multiple_of((imap_ref[t] * q_pack + h) * block_q, block_q)
         # dQ (dequant space) = (dS ∘ kscale) · codes^T; the augmented
         # ones ROW keeps the N=65 output geometry (column discarded).
         if quantized:
@@ -1133,10 +1241,22 @@ def _bwd_fused_kernel(
                           _ones_col(kq) if aug else kq, ((1,), (0,)))
         dq_acc[pl.ds(row0, block_q), :] += dq_upd
 
-    for ci, w in enumerate(widths):
-        @pl.when(((flags & _LIVE) != 0) & (wc == ci))
-        def _live_body(w=w):
-            _body(w)
+    for pid, vec in enumerate(patterns):
+        if not any(vec):
+            continue        # forced visit: output write only (epilogue)
+
+        @pl.when(((flags & _LIVE) != 0) & (pat == pid))
+        def _branch(vec=vec):
+            pending = None
+            for h, w in enumerate(vec):
+                if w == 0:
+                    continue
+                sd = dots(h, w)
+                if pending is not None:
+                    finish(*pending)
+                pending = (*sd, h, w)
+            if pending is not None:
+                finish(*pending)
 
     @pl.when((flags & _LAST) != 0)
     def _epilogue_kv():
@@ -1170,7 +1290,7 @@ _FUSED_VMEM_CAP_FP32 = int(9.5 * 1024 * 1024)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k",
+    static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
                      "dropout_rate", "window", "q_offset", "kv_layout",
                      "fast_exp", "interpret"),
 )
@@ -1185,6 +1305,7 @@ def flash_attention_backward(
     scale: float | None = None,
     block_q: int = DEFAULT_BLOCK_Q_BWD,
     block_k: int = DEFAULT_BLOCK_K_BWD,
+    q_pack: int | None = None,
     dropout_rate: float = 0.0,
     dropout_seed: jax.Array | int = 0,
     window: int | None = None,
@@ -1204,6 +1325,12 @@ def flash_attention_backward(
     (src/flash_attn2_bw.cpp:228).  Works for both the FA1 and FA2 residual
     conventions because ``(1/l)·exp(S-m) == exp(S-lse)`` with
     ``lse = m + log l``.
+
+    ``q_pack`` (None = auto): Q sub-tiles processed per grid step of the
+    fused form.  Auto jointly picks (q_pack, block_k) minimizing grid
+    steps under the scoped-VMEM footprint model — the fixed ~1.3 us/step
+    cost dominates the backward residual at long L
+    (bench/exp_bw_residual.py).
     """
     if interpret is None:
         interpret = default_interpret()
@@ -1243,50 +1370,73 @@ def flash_attention_backward(
         # bf16-tuned KV tile does not fit (d=128 fp32 at bk=1024 still
         # demanded 18.53M); 512 is the round-1-proven fp32 tile.
         block_k = min(block_k, 512)
-    pLq = round_up(Lq, block_q)
+    if q_offset is None:
+        q_offset = Lk - Lq
 
-    # The fused single-pass kernel's scoped-VMEM footprint grows with BOTH
-    # the KV tile (score-chain temps, dk/dv accumulators) and the sequence
-    # (full-sequence dq scratch + double-buffered dq output).  The wide
-    # default block_k (fastest at the headline shape) blows the 16 MB limit
-    # once pLq grows — L=8192 with block_k=2048 demanded 21.75M — so clamp
-    # block_k until the modeled footprint fits; if it cannot fit even at
-    # 512 the pLq budget below will push to the two-pass form (whose
-    # per-step footprint has no full-sequence terms).
+    # The fused single-pass kernel's scoped-VMEM footprint grows with the
+    # KV tile (score-chain temps, dk/dv accumulators), the sequence
+    # (full-sequence dq scratch + buffered dq output) AND the Q-pack width
+    # (group-sized Q/dO tiles; a packed body keeps up to two sub-tiles'
+    # score chains live — the one-step-ahead pipeline).  Jointly pick
+    # (q_pack, block_k) to MINIMIZE GRID STEPS under the footprint cap:
+    # the ~1.3 us fixed per-step cost is the dominant backward residual at
+    # long L (576 unpacked steps at L=8192 ~= 0.75 ms of the ~2.5 ms
+    # backward — bench/exp_bw_residual.py).  If nothing fits, the two-pass
+    # form engages (its per-step footprint has no full-sequence terms).
     ib = jnp.dtype(q.dtype).itemsize
     dwf = d + 1 if _fold_l(d) else d
 
-    def _fused_footprint(bk):
-        # Calibrated against observed Mosaic scoped-vmem outcomes: L=2048/
-        # bk=2048 compiles (model 12.1M), L=8192/bk=2048 OOMs at 21.75M
-        # (model 16M -> clamps to 1024, 10.8M, compiles), L=16384/bk=512
-        # OOMs at 19.75M (model 13.4M -> two-pass).  The dq output block is
-        # counted triple-buffered — that is what the observed failures
-        # calibrate to.
-        return (2 * block_q * bk * 4        # two live fp32 score-chain tiles
+    def _fused_footprint(bk, pack, pLq_):
+        # Calibrated against observed Mosaic scoped-vmem outcomes (round 2:
+        # L=2048/bk=2048 compiles at model 12.1M, L=8192/bk=2048 OOMs at
+        # 21.75M, L=16384/bk=512 OOMs at 19.75M -> two-pass).  The dq
+        # output block is counted triple-buffered — that is what the
+        # observed failures calibrate to.
+        score_tiles = 2 if pack == 1 else 4   # pipelined: two chains live
+        return (score_tiles * block_q * bk * 4  # live fp32 score-chain tiles
                 + 2 * bk * dwf * 4          # dk/dv accumulators
-                + pLq * dwf * 4             # full-sequence dq scratch
-                + 3 * pLq * d * ib          # buffered dq output block
+                + pLq_ * dwf * 4            # full-sequence dq scratch
+                + 3 * pLq_ * d * ib         # buffered dq output block
                 + 4 * bk * d * ib           # double-buffered K/V tiles
-                + 4 * block_q * d * ib)     # double-buffered Q/dO tiles
+                + 4 * pack * block_q * d * ib)  # double-buffered Q/dO groups
 
     # fp32 boundary observed between 8.9M (compiles) and 11.8M (OOMs);
     # bf16 between 12.1M (compiles) and 13.4M (OOMs) — see the module caps.
     _FUSED_VMEM_CAP = _FUSED_VMEM_CAP_FP32 if ib >= 4 else _FUSED_VMEM_CAP_BF16
-    bk_fused = block_k
-    while bk_fused > 512 and _fused_footprint(bk_fused) > _FUSED_VMEM_CAP:
-        bk_fused //= 2
-    will_fuse = _fused_footprint(bk_fused) <= _FUSED_VMEM_CAP
+    num_q_tiles = round_up(Lq, block_q) // block_q
+    if q_pack is not None:
+        pack_candidates = [max(1, min(q_pack, num_q_tiles))]
+    else:
+        pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
+    best = None          # ((steps, -bk), pack, bk, pLq)
+    for pack in pack_candidates:
+        pLq_p = round_up(Lq, block_q * pack)
+        bk_p = block_k
+        while bk_p > 512 and \
+                _fused_footprint(bk_p, pack, pLq_p) > _FUSED_VMEM_CAP:
+            bk_p //= 2
+        if _fused_footprint(bk_p, pack, pLq_p) > _FUSED_VMEM_CAP:
+            continue
+        gmap_p, *_ = _packed_kv_schedule(
+            pLq_p // (block_q * pack), round_up(Lk, bk_p) // bk_p,
+            block_q=block_q, block_k=bk_p, causal=causal,
+            q_offset=q_offset, kv_len=Lk, q_pack=pack, window=window)
+        key = (len(gmap_p), -bk_p)
+        if best is None or key < best[0]:
+            best = (key, pack, bk_p, pLq_p)
+    will_fuse = best is not None
     if will_fuse:
         # the clamped tile only applies to the fused single-pass form; the
         # two-pass kernels have no full-sequence terms and keep the wide
         # tile (two-pass L=16k at bk=2048 measured 11.7 ms vs 13.7 at 512)
-        block_k = bk_fused
+        _, q_pack, block_k, pLq = best
+    else:
+        q_pack = 1
+        pLq = round_up(Lq, block_q)
+    group_q = block_q * q_pack
 
     pLk = round_up(Lk, block_k)
     padded_kv = pLk != Lk
-    if q_offset is None:
-        q_offset = Lk - Lq
 
     # D_i = sum_d dO * O — plain XLA, fused into one pass over dO/O.
     # A cotangent on the logsumexp output folds in exactly here: the lse
@@ -1343,7 +1493,7 @@ def flash_attention_backward(
         seg = segment_ids.astype(jnp.int32)
         qsegf = pad_to(seg[:, :, None], 1, pLq, fill=-1)
         ksegf = pad_to(seg[:, None, :], 2, pLk, fill=-1)
-        qseg_block, kseg_block = (1, block_q, 1), (1, 1, block_k)
+        qseg_block, kseg_block = (1, group_q, 1), (1, 1, block_k)
         qseg_index = lambda b, t, im, jm, *r: (b // H, im[t], 0)
         kseg_index = lambda b, t, im, jm, *r: (b // H, 0, jm[t])
     else:
@@ -1353,9 +1503,6 @@ def flash_attention_backward(
 
     num_q, num_kv = pLq // block_q, pLk // block_k
 
-    kv_imap, kv_jmap, kv_flags, kv_wmap, kv_widths = _tile_schedule(
-        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, kv_len=Lk, kv_outer=True, window=window)
     aug = _fold_l(d)
     dw = d + 1 if aug else d
     # Single-pass (5 dots/pair) whenever the modeled footprint fits; the
@@ -1366,9 +1513,11 @@ def flash_attention_backward(
 
     # Dummy scale/segment specs cost per-grid-step pipeline bookkeeping
     # (like the forward): only live operands ride the spec list; a shared
-    # wrapper reinserts None refs for the kernel signatures.
+    # wrapper reinserts None refs for the kernel signatures.  Q-side blocks
+    # are GROUP-sized (group_q == block_q for the two-pass kernels and for
+    # an unpacked fused form); ``im`` is in group units.
     common_in_specs = [
-        pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
         pl.BlockSpec(kv_block, kv_index),
         pl.BlockSpec(kv_block, kv_index),
     ]
@@ -1382,9 +1531,9 @@ def flash_attention_backward(
                             pl.BlockSpec(kseg_block, kseg_index)]
         common_operands += [qsegf, ksegf]
     common_in_specs += [
-        pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        pl.BlockSpec((1, block_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
+        pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
     ]
     common_operands += [dof, lsef, deltaf]
 
@@ -1411,17 +1560,21 @@ def flash_attention_backward(
     ]
 
     if fused:
+        gmap, gjmap, gflags, gpat, gpatterns = _packed_kv_schedule(
+            pLq // group_q, num_kv, block_q=block_q, block_k=block_k,
+            causal=causal, q_offset=q_offset, kv_len=Lk, q_pack=q_pack,
+            window=window)
         fused_kernel = functools.partial(
             _bwd_fused_kernel,
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-            n_steps=len(kv_imap), n_heads=H, quantized=quantized,
+            n_steps=len(gmap), n_heads=H, quantized=quantized,
             dropout_rate=dropout_rate, window=window, segmented=segmented,
-            fast_exp=fast_exp, widths=kv_widths,
+            fast_exp=fast_exp, q_pack=q_pack, patterns=gpatterns,
         )
         fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
-            grid=(B * H, len(kv_imap)),
+            grid=(B * H, len(gmap)),
             in_specs=common_in_specs,
             out_specs=kv_out_specs + [
                 pl.BlockSpec((1, pLq, d), lambda b, t, im, jm, *r: (b, 0, 0)),
@@ -1444,12 +1597,15 @@ def flash_attention_backward(
                 dimension_semantics=("parallel", "arbitrary"),
             ),
             interpret=interpret,
-        )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-          jnp.asarray(kv_wmap), seed_arr, *common_operands)
+        )(jnp.asarray(gmap), jnp.asarray(gjmap), jnp.asarray(gflags),
+          jnp.asarray(gpat), seed_arr, *common_operands)
         dq = dq[:, :Lq].reshape(B, H, Lq, d)
         dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
         return dq, dk, dv
 
+    kv_imap, kv_jmap, kv_flags, kv_wmap, kv_widths = _tile_schedule(
+        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
+        q_offset=q_offset, kv_len=Lk, kv_outer=True, window=window)
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
