@@ -60,24 +60,16 @@ HEADLINE = dict(B=4, H=8, L=2048, d=64)
 NORTHSTAR = dict(B=1, H=8, L=8192, d=64)
 
 
-def _bwd_blocks(L, d, itemsize=2):
-    """Reproduce flash_attention_backward's block/fused choice for a
-    causal Lq==Lk config (the VMEM-model clamp)."""
+def _bwd_blocks(L, d, itemsize=2, q_pack=1):
+    """The production block/fused choice (select_bwd_fused_config) for a
+    causal Lq==Lk config at the given q_pack (1 = the unpacked schedule
+    the floor/DMA parts attribute)."""
+    from tpu_flash.kernels.flash_attention import select_bwd_fused_config
     block_q = min(DEFAULT_BLOCK_Q_BWD, L)
-    block_k = min(DEFAULT_BLOCK_K_BWD, L)
-    pLq = -(-L // block_q) * block_q
-    dwf = d + 1 if _fold_l(d) else d
-    cap = int(12.5 * 1024 * 1024) if itemsize == 2 else int(9.5 * 1024 * 1024)
-
-    def footprint(bk):
-        return (2 * block_q * bk * 4 + 2 * bk * dwf * 4 + pLq * dwf * 4
-                + 3 * pLq * d * itemsize + 4 * bk * d * itemsize
-                + 4 * block_q * d * itemsize)
-
-    bk = block_k
-    while bk > 512 and footprint(bk) > cap:
-        bk //= 2
-    return block_q, bk, footprint(bk) <= cap
+    fused, pack, bk, pLq = select_bwd_fused_config(
+        L, L, d, block_q=block_q, block_k=min(DEFAULT_BLOCK_K_BWD, L),
+        causal=True, q_offset=0, itemsize=itemsize, q_pack=q_pack)
+    return block_q, bk, fused
 
 
 # ------------------------------------------------------------------ rates
@@ -305,7 +297,7 @@ def run_dma(cfg):
 
 # ------------------------------------------------------------------- prod
 def run_prod(cfg, *, kv_quant="none", block_q=None, block_k=None,
-             label=""):
+             q_pack="default", label=""):
     B, H, L, d = cfg["B"], cfg["H"], cfg["L"], cfg["d"]
     rng = np.random.default_rng(0)
     q, k, v, do = (jnp.asarray(
@@ -315,6 +307,8 @@ def run_prod(cfg, *, kv_quant="none", block_q=None, block_k=None,
         kw["block_q"] = block_q
     if block_k:
         kw["block_k"] = block_k
+    if q_pack != "default":
+        kw["q_pack"] = q_pack
     if kv_quant != "none":
         kq, ks = _quantize_kv(k, kv_quant)
         vq, vs = _quantize_kv(v, kv_quant)
@@ -391,11 +385,25 @@ def main():
             run_dma(cfg)
 
     if which in ("prod", "all"):
-        print("== production backward ==", flush=True)
-        run_prod(HEADLINE, label="bf16 L2048 (default)")
-        run_prod(NORTHSTAR, label="bf16 L8192 (default)")
-        run_prod(NORTHSTAR, kv_quant="int8", label="int8 L8192 (default)")
-        run_prod(NORTHSTAR, block_k=512, label="bf16 L8192 bk=512")
+        from tpu_flash.kernels.flash_attention import select_bwd_fused_config
+        print("== production backward (q_pack sweep) ==", flush=True)
+        for cfg in (HEADLINE, NORTHSTAR):
+            for pack in (None, 1, 2, 4, 8):
+                sel = select_bwd_fused_config(
+                    cfg["L"], cfg["L"], cfg["d"], block_q=512,
+                    block_k=min(2048, cfg["L"]), causal=True, q_offset=0,
+                    itemsize=2, q_pack=pack)
+                tag = (f"bf16 L{cfg['L']} pack={pack or 'auto'} "
+                       f"-> {sel[1]}x512x{sel[2]}")
+                run_prod(cfg, q_pack=pack, label=tag)
+        run_prod(NORTHSTAR, kv_quant="int8", label="int8 L8192 (auto)")
+        run_prod(NORTHSTAR, kv_quant="int8", q_pack=1,
+                 label="int8 L8192 pack=1")
+        # narrower sub-tiles, fw-style: pack=8 x 256-row chains
+        run_prod(NORTHSTAR, block_q=256, q_pack=8,
+                 label="bf16 L8192 8x256")
+        run_prod(NORTHSTAR, kv_quant="int8", block_q=256, q_pack=8,
+                 label="int8 L8192 8x256")
 
     if which in ("packed", "all"):
         print("== packed prototype at the north-star shape ==", flush=True)

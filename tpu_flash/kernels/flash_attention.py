@@ -1288,6 +1288,68 @@ _FUSED_VMEM_CAP_BF16 = int(12.5 * 1024 * 1024)
 _FUSED_VMEM_CAP_FP32 = int(9.5 * 1024 * 1024)
 
 
+def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
+                            q_offset, itemsize, q_pack=None, window=None):
+    """Joint (q_pack, block_k) choice for the fused single-pass backward.
+
+    The fused kernel's scoped-VMEM footprint grows with the KV tile
+    (score-chain temps, dk/dv accumulators), the sequence (full-sequence
+    dq scratch + buffered dq output) AND the Q-pack width (group-sized
+    Q/dO tiles; a packed body keeps up to two sub-tiles' score chains
+    live — the one-step-ahead pipeline).  Pick the candidate MINIMIZING
+    GRID STEPS under the footprint cap: the ~1.3 us fixed per-step cost
+    is the dominant backward residual at long L (576 unpacked steps at
+    L=8192 ~= 0.75 ms of the ~2.5 ms backward —
+    bench/exp_bw_residual.py).  If nothing fits, the two-pass form
+    engages (its per-step footprint has no full-sequence terms).
+
+    Returns ``(will_fuse, q_pack, block_k, pLq)``.
+    """
+    dwf = d + 1 if _fold_l(d) else d
+
+    def footprint(bk, pack, pLq_):
+        # Calibrated against observed Mosaic scoped-vmem outcomes (round 2:
+        # L=2048/bk=2048 compiles at model 12.1M, L=8192/bk=2048 OOMs at
+        # 21.75M, L=16384/bk=512 OOMs at 19.75M -> two-pass).  The dq
+        # output block is counted triple-buffered — that is what the
+        # observed failures calibrate to.
+        score_tiles = 2 if pack == 1 else 4   # pipelined: two chains live
+        return (score_tiles * block_q * bk * 4  # live fp32 score-chain tiles
+                + 2 * bk * dwf * 4          # dk/dv accumulators
+                + pLq_ * dwf * 4            # full-sequence dq scratch
+                + 3 * pLq_ * d * itemsize   # buffered dq output block
+                + 4 * bk * d * itemsize     # double-buffered K/V tiles
+                + 4 * pack * block_q * d * itemsize)  # dbl-buf Q/dO groups
+
+    # fp32 boundary observed between 8.9M (compiles) and 11.8M (OOMs);
+    # bf16 between 12.1M (compiles) and 13.4M (OOMs) — see the module caps.
+    cap = _FUSED_VMEM_CAP_FP32 if itemsize >= 4 else _FUSED_VMEM_CAP_BF16
+    num_q_tiles = round_up(Lq, block_q) // block_q
+    if q_pack is not None:
+        pack_candidates = [max(1, min(q_pack, num_q_tiles))]
+    else:
+        pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
+    best = None          # ((steps, -bk), pack, bk, pLq)
+    for pack in pack_candidates:
+        pLq_p = round_up(Lq, block_q * pack)
+        bk_p = block_k
+        while bk_p > 512 and footprint(bk_p, pack, pLq_p) > cap:
+            bk_p //= 2
+        if footprint(bk_p, pack, pLq_p) > cap:
+            continue
+        gmap_p, *_ = _packed_kv_schedule(
+            pLq_p // (block_q * pack), round_up(Lk, bk_p) // bk_p,
+            block_q=block_q, block_k=bk_p, causal=causal,
+            q_offset=q_offset, kv_len=Lk, q_pack=pack, window=window)
+        key = (len(gmap_p), -bk_p)
+        if best is None or key < best[0]:
+            best = (key, pack, bk_p, pLq_p)
+    if best is None:
+        return False, 1, block_k, round_up(Lq, block_q)
+    _, pack, bk, pLq = best
+    return True, pack, bk, pLq
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
@@ -1373,66 +1435,15 @@ def flash_attention_backward(
     if q_offset is None:
         q_offset = Lk - Lq
 
-    # The fused single-pass kernel's scoped-VMEM footprint grows with the
-    # KV tile (score-chain temps, dk/dv accumulators), the sequence
-    # (full-sequence dq scratch + buffered dq output) AND the Q-pack width
-    # (group-sized Q/dO tiles; a packed body keeps up to two sub-tiles'
-    # score chains live — the one-step-ahead pipeline).  Jointly pick
-    # (q_pack, block_k) to MINIMIZE GRID STEPS under the footprint cap:
-    # the ~1.3 us fixed per-step cost is the dominant backward residual at
-    # long L (576 unpacked steps at L=8192 ~= 0.75 ms of the ~2.5 ms
-    # backward — bench/exp_bw_residual.py).  If nothing fits, the two-pass
-    # form engages (its per-step footprint has no full-sequence terms).
     ib = jnp.dtype(q.dtype).itemsize
-    dwf = d + 1 if _fold_l(d) else d
-
-    def _fused_footprint(bk, pack, pLq_):
-        # Calibrated against observed Mosaic scoped-vmem outcomes (round 2:
-        # L=2048/bk=2048 compiles at model 12.1M, L=8192/bk=2048 OOMs at
-        # 21.75M, L=16384/bk=512 OOMs at 19.75M -> two-pass).  The dq
-        # output block is counted triple-buffered — that is what the
-        # observed failures calibrate to.
-        score_tiles = 2 if pack == 1 else 4   # pipelined: two chains live
-        return (score_tiles * block_q * bk * 4  # live fp32 score-chain tiles
-                + 2 * bk * dwf * 4          # dk/dv accumulators
-                + pLq_ * dwf * 4            # full-sequence dq scratch
-                + 3 * pLq_ * d * ib         # buffered dq output block
-                + 4 * bk * d * ib           # double-buffered K/V tiles
-                + 4 * pack * block_q * d * ib)  # double-buffered Q/dO groups
-
-    # fp32 boundary observed between 8.9M (compiles) and 11.8M (OOMs);
-    # bf16 between 12.1M (compiles) and 13.4M (OOMs) — see the module caps.
-    _FUSED_VMEM_CAP = _FUSED_VMEM_CAP_FP32 if ib >= 4 else _FUSED_VMEM_CAP_BF16
-    num_q_tiles = round_up(Lq, block_q) // block_q
-    if q_pack is not None:
-        pack_candidates = [max(1, min(q_pack, num_q_tiles))]
-    else:
-        pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
-    best = None          # ((steps, -bk), pack, bk, pLq)
-    for pack in pack_candidates:
-        pLq_p = round_up(Lq, block_q * pack)
-        bk_p = block_k
-        while bk_p > 512 and \
-                _fused_footprint(bk_p, pack, pLq_p) > _FUSED_VMEM_CAP:
-            bk_p //= 2
-        if _fused_footprint(bk_p, pack, pLq_p) > _FUSED_VMEM_CAP:
-            continue
-        gmap_p, *_ = _packed_kv_schedule(
-            pLq_p // (block_q * pack), round_up(Lk, bk_p) // bk_p,
-            block_q=block_q, block_k=bk_p, causal=causal,
-            q_offset=q_offset, kv_len=Lk, q_pack=pack, window=window)
-        key = (len(gmap_p), -bk_p)
-        if best is None or key < best[0]:
-            best = (key, pack, bk_p, pLq_p)
-    will_fuse = best is not None
+    will_fuse, q_pack, bk_sel, pLq = select_bwd_fused_config(
+        Lq, Lk, d, block_q=block_q, block_k=block_k, causal=causal,
+        q_offset=q_offset, itemsize=ib, q_pack=q_pack, window=window)
     if will_fuse:
         # the clamped tile only applies to the fused single-pass form; the
         # two-pass kernels have no full-sequence terms and keep the wide
         # tile (two-pass L=16k at bk=2048 measured 11.7 ms vs 13.7 at 512)
-        _, q_pack, block_k, pLq = best
-    else:
-        q_pack = 1
-        pLq = round_up(Lq, block_q)
+        block_k = bk_sel
     group_q = block_q * q_pack
 
     pLk = round_up(Lk, block_k)
