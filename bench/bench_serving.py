@@ -95,6 +95,8 @@ def run_trace(engine_factory, trace, vocab, mode, n_many, rng):
                     budgets[uid] - len(engine.slot_tokens[slot]))
         if mode == "many":
             engine.step_many(n_many)
+        elif mode == "spec":
+            engine.step_speculative()
         else:
             engine.step()
     makespan = time.monotonic() - t0
@@ -168,16 +170,27 @@ def main():
                   "new_p50": int(np.median([t["budget"] for t in trace]))},
     }))
 
-    def factory(chunk=None):
+    # greedy draft for the speculative row: same family, 2 layers
+    draft_cfg = nn.DecoderConfig(
+        n_vocab=cfg.n_vocab, n_embd=cfg.n_embd // 2, n_head=cfg.n_head // 2,
+        n_positions=cfg.n_positions, n_layer=2, p_dropout=0.0,
+        attention_kind="flash", dtype=jnp.bfloat16)
+    draft_model = nn.DecoderLM(draft_cfg)
+    draft_params = draft_model.init(jax.random.key(1))
+
+    def factory(chunk=None, spec=False):
         return lambda: DecodeEngine(
             model, params, n_slots=args.n_slots, max_len=max_len,
             sampling=SamplingConfig(temperature=0.0),
-            kv_quant=args.kv_quant, prefill_chunk=chunk)
+            kv_quant=args.kv_quant, prefill_chunk=chunk,
+            draft_model=draft_model if spec else None,
+            draft_params=draft_params if spec else None, n_draft=4)
 
     for label, fac, mode in [
         ("per-token", factory(), "step"),
         (f"step_many({args.n_many})", factory(), "many"),
         (f"step_many({args.n_many})+chunked-prefill", factory(256), "many"),
+        ("speculative(draft-2L,n=4)", factory(spec=True), "spec"),
     ]:
         tt, makespan = run_trace(fac, trace, cfg.n_vocab, mode,
                                  args.n_many, np.random.default_rng(1))
