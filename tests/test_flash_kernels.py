@@ -359,3 +359,29 @@ def test_backward_q_pack_parity(rng, shape, q_pack):
     np.testing.assert_allclose(dq, dq_e, **BW_TOL)
     np.testing.assert_allclose(dk, dk_e, **BW_TOL)
     np.testing.assert_allclose(dv, dv_e, **BW_TOL)
+
+
+def test_backward_two_pass_packed_matches_fused(rng, monkeypatch):
+    """The packed dK/dV pass (q_pack groups, _packed_kv_schedule) of the
+    two-pass fallback must agree with the fused form at a shape with
+    several groups per KV tile."""
+    import jax.numpy as jnp
+    from tpu_flash.kernels import flash_attention as fa
+
+    B, H, L, d = 1, 2, 512, 32
+    q, k, v, do = (jnp.asarray(rng.standard_normal((B, H, L, d)),
+                               jnp.float32) for _ in range(4))
+    out, lse, _ = fa.flash_attention_forward(q, k, v, causal=True,
+                                             block_q=128, block_k=128)
+    raw = fa.flash_attention_backward.__wrapped__
+    fused = raw(q, k, v, out, lse, do, causal=True, block_q=64,
+                block_k=128, interpret=True)
+    # force the two-pass form while leaving the dkv pack selector its real
+    # VMEM cap (so it actually picks a q_pack > 1 at this shape)
+    monkeypatch.setattr(fa, "select_bwd_fused_config",
+                        lambda *a, **k: (False, 64, 1, 128, 512))
+    twopass = raw(q, k, v, out, lse, do, causal=True, block_q=64,
+                  block_k=128, interpret=True)
+    for a, b in zip(fused, twopass):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)

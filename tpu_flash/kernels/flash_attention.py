@@ -801,9 +801,8 @@ def flash_attention_forward(
         vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
         kv_block = (1, block_k, d)
         kv_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
-        ksf = vsf = jnp.ones((B * Hkv, 1, 1), jnp.float32)
-        scale_block = (1, 1, 1)
-        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, 0)
+        ksf = vsf = None
+        scale_block = scale_index = None
 
     if segmented:
         seg = segment_ids.astype(jnp.int32)
@@ -816,9 +815,8 @@ def flash_attention_forward(
         qseg_index = lambda b, t, im, jm, *r: (b // H, im[t], 0)
         kseg_index = lambda b, t, im, jm, *r: (b // H, 0, jm[t])
     else:
-        qsegf = ksegf = jnp.zeros((B, 1, 1), jnp.int32)
-        qseg_block = kseg_block = (1, 1, 1)
-        qseg_index = kseg_index = lambda b, t, im, jm, *r: (b // H, 0, 0)
+        qsegf = ksegf = None
+        qseg_block = kseg_block = qseg_index = kseg_index = None
 
     num_groups, num_kv = pLq // group_q, pLk // block_k
     imap, jmap, flags, patv, patterns = _packed_schedule(
@@ -1032,62 +1030,28 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
 
 
 def _bwd_dkv_kernel(
-    imap_ref, jmap_ref, flags_ref, wmap_ref, seed_ref,
+    imap_ref, jmap_ref, flags_ref, pat_ref, seed_ref,
     q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_heads, quantized, dropout_rate, window, segmented, fast_exp, widths,
+    n_heads, quantized, dropout_rate, window, segmented, fast_exp,
+    q_pack, patterns,
 ):
-    t = pl.program_id(1)
-    bh = pl.program_id(0)
-    gb, gh = _global_bh(bh, n_heads, seed_ref)
-    flags = flags_ref[t]
-    wc = wmap_ref[t]
-
-    @pl.when((flags & _FIRST) != 0)
-    def _init():
-        dk_acc[:] = jnp.zeros_like(dk_acc)
-        dv_acc[:] = jnp.zeros_like(dv_acc)
-
-    def _body(w):
-        # ``w``: static width class — the first w KV columns of this tile
-        # are live for this Q tile; the dots never touch the rest.
-        q, do = q_ref[0], do_ref[0]                 # [bq, d]
-        if quantized:
-            kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
-            vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
-            kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
-        else:
-            kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
-            kscale = vscale = None
-        p, ds = _bwd_p_ds(
-            q, kq, vq, do, lse_ref[0], delta_ref[0],
-            imap_ref[t], jmap_ref[t], scale=scale, causal=causal,
-            block_q=block_q, block_k=block_k, kv_len=kv_len,
-            padded_kv=padded_kv, q_offset=q_offset, d=d,
-            dropout_rate=dropout_rate, b=gb, h=gh,
-            seed=seed_ref[0], window=window,
-            qseg=qseg_ref[0] if segmented else None,
-            kseg=kseg_ref[0][:, :w] if segmented else None,
-            fast_exp=fast_exp, kscale=kscale, vscale=vscale)
-        # dV += P^T dO   (ones column: see _ones_col — discarded on store)
-        dv_acc[0:w] += _dot(p.astype(do.dtype),
-                            _ones_col(do) if aug else do, ((0,), (0,)))
-        # dK += dS^T Q  (the tau = scale factor is applied once at the end)
-        dk_acc[0:w] += _dot(ds.astype(q.dtype),
-                            _ones_col(q) if aug else q, ((0,), (0,)))
-
-    for ci, w in enumerate(widths):
-        @pl.when(((flags & _LIVE) != 0) & (wc == ci))
-        def _live_body(w=w):
-            _body(w)
-
-    @pl.when((flags & _LAST) != 0)
-    def _epilogue():
-        dk_ref[0] = (scale * dk_acc[:, :d]).astype(dk_ref.dtype)
-        dv_ref[0] = dv_acc[:, :d].astype(dv_ref.dtype)
+    """dK/dV pass of the two-pass backward (engages when the fused form's
+    full-sequence dQ scratch cannot fit VMEM, L>=16k bf16): the same
+    packed KV-outer group body as the fused kernel, minus dQ."""
+    _bwd_kv_outer_body(
+        imap_ref, jmap_ref, flags_ref, pat_ref, seed_ref,
+        q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
+        do_ref, lse_ref, delta_ref,
+        dk_ref, dv_ref, None, dk_acc, dv_acc, None,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=kv_len, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
+        n_steps=0, n_heads=n_heads, quantized=quantized,
+        dropout_rate=dropout_rate, window=window, segmented=segmented,
+        fast_exp=fast_exp, q_pack=q_pack, patterns=patterns)
 
 
 def _bwd_dq_kernel(
@@ -1161,14 +1125,40 @@ def _bwd_fused_kernel(
     n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
     q_pack, patterns,
 ):
-    """Single-pass backward: dK/dV accumulate per KV tile as in
-    ``_bwd_dkv_kernel``, and dQ accumulates into a full-sequence fp32 VMEM
-    scratch (``[pLq, d(+1)]``) indexed by the current Q sub-tile — the grid
-    for one (batch, head) runs sequentially on a TensorCore, so this is the
-    race-free TPU replacement for the reference's ``atomicAdd`` dQ
-    (src/flash_attn2_bw.cpp:228) that also skips the entire second pass
-    (and its recomputation of S and dP: 5 MXU dots per tile pair instead
-    of 7, plus one less read of Q/K/V/dO).
+    """Single-pass backward: the packed KV-outer body with the dQ
+    full-sequence accumulator enabled."""
+    _bwd_kv_outer_body(
+        imap_ref, jmap_ref, flags_ref, pat_ref, seed_ref,
+        q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
+        do_ref, lse_ref, delta_ref,
+        dk_ref, dv_ref, dq_ref, dk_acc, dv_acc, dq_acc,
+        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
+        kv_len=kv_len, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
+        n_steps=n_steps, n_heads=n_heads, quantized=quantized,
+        dropout_rate=dropout_rate, window=window, segmented=segmented,
+        fast_exp=fast_exp, q_pack=q_pack, patterns=patterns)
+
+
+def _bwd_kv_outer_body(
+    imap_ref, jmap_ref, flags_ref, pat_ref, seed_ref,
+    q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
+    do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dq_ref,
+    dk_acc, dv_acc, dq_acc,
+    *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
+    n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
+    q_pack, patterns,
+):
+    """Packed KV-outer backward body — dK/dV accumulate per KV tile; with
+    ``dq_acc`` (the fused single-pass form) dQ additionally accumulates
+    into a full-sequence fp32 VMEM scratch (``[pLq, d(+1)]``) indexed by
+    the current Q sub-tile — the grid for one (batch, head) runs
+    sequentially on a TensorCore, so this is the race-free TPU replacement
+    for the reference's ``atomicAdd`` dQ (src/flash_attn2_bw.cpp:228) that
+    also skips the entire second pass (and its recomputation of S and dP:
+    5 MXU dots per tile pair instead of 7, plus one less read of
+    Q/K/V/dO).  With ``dq_acc=None`` this is the dK/dV pass of the
+    two-pass fallback.
 
     Like the forward, each grid step processes a GROUP of ``q_pack``
     consecutive Q sub-tiles against the current KV tile (amortizing the
@@ -1185,9 +1175,10 @@ def _bwd_fused_kernel(
     flags = flags_ref[t]
     pat = pat_ref[t]
 
-    @pl.when(t == 0)
-    def _init_dq():
-        dq_acc[:] = jnp.zeros_like(dq_acc)
+    if dq_acc is not None:
+        @pl.when(t == 0)
+        def _init_dq():
+            dq_acc[:] = jnp.zeros_like(dq_acc)
 
     @pl.when((flags & _FIRST) != 0)
     def _init_kv():
@@ -1227,6 +1218,8 @@ def _bwd_fused_kernel(
                             _ones_col(do) if aug else do, ((0,), (0,)))
         dk_acc[0:w] += _dot(ds.astype(q.dtype),
                             _ones_col(q) if aug else q, ((0,), (0,)))
+        if dq_acc is None:
+            return
         row0 = pl.multiple_of((imap_ref[t] * q_pack + h) * block_q, block_q)
         # dQ (dequant space) = (dS ∘ kscale) · codes^T; the augmented
         # ones ROW keeps the N=65 output geometry (column discarded).
@@ -1263,9 +1256,10 @@ def _bwd_fused_kernel(
         dk_ref[0] = (scale * dk_acc[:, :d]).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:, :d].astype(dv_ref.dtype)
 
-    @pl.when(t == n_steps - 1)
-    def _epilogue_dq():
-        dq_ref[0] = (scale * dq_acc[:, :d]).astype(dq_ref.dtype)
+    if dq_acc is not None:
+        @pl.when(t == n_steps - 1)
+        def _epilogue_dq():
+            dq_ref[0] = (scale * dq_acc[:, :d]).astype(dq_ref.dtype)
 
 
 def _group_sum(x, B, Hkv, g, Lk, d):
@@ -1290,7 +1284,8 @@ _FUSED_VMEM_CAP_FP32 = int(9.5 * 1024 * 1024)
 
 def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
                             q_offset, itemsize, q_pack=None, window=None):
-    """Joint (q_pack, block_k) choice for the fused single-pass backward.
+    """Joint (block_q, q_pack, block_k) choice for the fused single-pass
+    backward.
 
     The fused kernel's scoped-VMEM footprint grows with the KV tile
     (score-chain temps, dk/dv accumulators), the sequence (full-sequence
@@ -1300,43 +1295,125 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
     GRID STEPS under the footprint cap: the ~1.3 us fixed per-step cost
     is the dominant backward residual at long L (576 unpacked steps at
     L=8192 ~= 0.75 ms of the ~2.5 ms backward —
-    bench/exp_bw_residual.py).  If nothing fits, the two-pass form
+    bench/exp_bw_residual.py).  Ties prefer the wider KV tile, then the
+    NARROWER sub-tile (finer chains pipeline the VPU tail better and the
+    finer width classes trim more causal-diagonal dot volume — the same
+    findings as the forward's 8x256 retune).  ``block_q=None`` considers
+    both 512- and 256-row sub-tiles.  If nothing fits, the two-pass form
     engages (its per-step footprint has no full-sequence terms).
 
-    Returns ``(will_fuse, q_pack, block_k, pLq)``.
+    Returns ``(will_fuse, block_q, q_pack, block_k, pLq)``.
     """
     dwf = d + 1 if _fold_l(d) else d
 
-    def footprint(bk, pack, pLq_):
+    def footprint(bq, bk, pack, pLq_):
         # Calibrated against observed Mosaic scoped-vmem outcomes (round 2:
         # L=2048/bk=2048 compiles at model 12.1M, L=8192/bk=2048 OOMs at
         # 21.75M, L=16384/bk=512 OOMs at 19.75M -> two-pass).  The dq
         # output block is counted triple-buffered — that is what the
         # observed failures calibrate to.
         score_tiles = 2 if pack == 1 else 4   # pipelined: two chains live
-        return (score_tiles * block_q * bk * 4  # live fp32 score-chain tiles
+        return (score_tiles * bq * bk * 4   # live fp32 score-chain tiles
                 + 2 * bk * dwf * 4          # dk/dv accumulators
                 + pLq_ * dwf * 4            # full-sequence dq scratch
                 + 3 * pLq_ * d * itemsize   # buffered dq output block
                 + 4 * bk * d * itemsize     # double-buffered K/V tiles
-                + 4 * pack * block_q * d * itemsize)  # dbl-buf Q/dO groups
+                + 4 * pack * bq * d * itemsize)  # dbl-buf Q/dO groups
 
     # fp32 boundary observed between 8.9M (compiles) and 11.8M (OOMs);
     # bf16 between 12.1M (compiles) and 13.4M (OOMs) — see the module caps.
     cap = _FUSED_VMEM_CAP_FP32 if itemsize >= 4 else _FUSED_VMEM_CAP_BF16
+    bq_candidates = ([block_q] if block_q is not None
+                     else [min(b, round_up(Lq, 8)) for b in (512, 256)])
+    best = None          # ((steps, -bk, bq), bq, pack, bk, pLq)
+    for bq in dict.fromkeys(bq_candidates):
+        num_q_tiles = round_up(Lq, bq) // bq
+        if q_pack is not None:
+            pack_candidates = [max(1, min(q_pack, num_q_tiles))]
+        else:
+            pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
+        for pack in pack_candidates:
+            pLq_p = round_up(Lq, bq * pack)
+            bk_p = block_k
+            while bk_p > 512 and footprint(bq, bk_p, pack, pLq_p) > cap:
+                bk_p //= 2
+            if footprint(bq, bk_p, pack, pLq_p) > cap:
+                continue
+            gmap_p, *_ = _packed_kv_schedule(
+                pLq_p // (bq * pack), round_up(Lk, bk_p) // bk_p,
+                block_q=bq, block_k=bk_p, causal=causal,
+                q_offset=q_offset, kv_len=Lk, q_pack=pack, window=window)
+            key = (len(gmap_p), -bk_p, bq)
+            if best is None or key < best[0]:
+                best = (key, bq, pack, bk_p, pLq_p)
+    if best is None:
+        bq = block_q or DEFAULT_BLOCK_Q_BWD
+        bq = min(bq, round_up(Lq, 8))
+        return False, bq, 1, block_k, round_up(Lq, bq)
+    _, bq, pack, bk, pLq = best
+    if q_pack is not None:      # explicit pack = sweep mode: honor it
+        return True, bq, pack, bk, pLq
+
+    # A fitting fused config is not automatically the right one: at
+    # L=16k only narrow unpacked tiles fit (the full-sequence dq terms),
+    # and their thousands of grid steps cost more than the two-pass
+    # form's two extra dots.  Compare simple cost models — executed MACs
+    # at the calibrated ~92 TF/s in-kernel d=64 rate (5 dots/pair fused,
+    # 7 across the two passes) plus ~1.3 us per grid step — and fuse only
+    # when fused wins.
+    bq2 = min(block_q or DEFAULT_BLOCK_Q_BWD, round_up(Lq, 8))
+    pack2, bk2, pLq2 = select_bwd_dkv_config(
+        Lq, Lk, d, block_q=bq2, block_k=block_k, causal=causal,
+        q_offset=q_offset, itemsize=itemsize, window=window)
+    s_dkv, *_ = _packed_kv_schedule(
+        pLq2 // (bq2 * pack2), round_up(Lk, bk2) // bk2, block_q=bq2,
+        block_k=bk2, causal=causal, q_offset=q_offset, kv_len=Lk,
+        q_pack=pack2, window=window)
+    s_dq, _, _, _, _ = _tile_schedule(
+        round_up(Lq, bq2) // bq2, round_up(Lk, block_k) // block_k,
+        block_q=bq2, block_k=block_k, causal=causal, q_offset=q_offset,
+        kv_len=Lk, kv_outer=False, window=window)
+    gmap_f, _, fl_f, pat_f, patterns_f = _packed_kv_schedule(
+        pLq // (bq * pack), round_up(Lk, bk) // bk, block_q=bq,
+        block_k=bk, causal=causal, q_offset=q_offset, kv_len=Lk,
+        q_pack=pack, window=window)
+    macs = sum(bq * w * d
+               for f, pv in zip(fl_f, pat_f) if int(f) & _LIVE
+               for w in patterns_f[int(pv)]) * 2.0
+    c_step, rate = 1.3e-6, 92e12 / 2.0     # MAC/s
+    fused_cost = 5 * macs / rate + len(gmap_f) * c_step
+    twopass_cost = 7 * macs / rate + (len(s_dkv) + len(s_dq)) * c_step
+    if fused_cost > twopass_cost:
+        return False, bq2, 1, block_k, round_up(Lq, bq2)
+    return True, bq, pack, bk, pLq
+
+
+def select_bwd_dkv_config(Lq, Lk, d, *, block_q, block_k, causal, q_offset,
+                          itemsize, window=None):
+    """(q_pack, block_k) for the two-pass dK/dV kernel — same
+    step-minimizing policy as the fused selector but with no
+    full-sequence footprint terms (the two-pass form exists precisely
+    because those don't fit).  Returns ``(q_pack, bk, pLq)``."""
+    dwf = d + 1 if _fold_l(d) else d
+
+    def footprint(bk, pack):
+        score_tiles = 2 if pack == 1 else 4
+        return (score_tiles * block_q * bk * 4
+                + 2 * bk * dwf * 4              # dk/dv accumulators
+                + 4 * bk * d * itemsize         # double-buffered K/V tiles
+                + 6 * bk * d * itemsize         # dk/dv output blocks
+                + 4 * pack * block_q * d * itemsize)
+
+    cap = _FUSED_VMEM_CAP_FP32 if itemsize >= 4 else _FUSED_VMEM_CAP_BF16
     num_q_tiles = round_up(Lq, block_q) // block_q
-    if q_pack is not None:
-        pack_candidates = [max(1, min(q_pack, num_q_tiles))]
-    else:
-        pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
-    best = None          # ((steps, -bk), pack, bk, pLq)
-    for pack in pack_candidates:
-        pLq_p = round_up(Lq, block_q * pack)
+    best = None
+    for pack in [p for p in (8, 4, 2, 1) if p <= num_q_tiles]:
         bk_p = block_k
-        while bk_p > 512 and footprint(bk_p, pack, pLq_p) > cap:
+        while bk_p > 512 and footprint(bk_p, pack) > cap:
             bk_p //= 2
-        if footprint(bk_p, pack, pLq_p) > cap:
+        if footprint(bk_p, pack) > cap:
             continue
+        pLq_p = round_up(Lq, block_q * pack)
         gmap_p, *_ = _packed_kv_schedule(
             pLq_p // (block_q * pack), round_up(Lk, bk_p) // bk_p,
             block_q=block_q, block_k=bk_p, causal=causal,
@@ -1344,10 +1421,10 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
         key = (len(gmap_p), -bk_p)
         if best is None or key < best[0]:
             best = (key, pack, bk_p, pLq_p)
-    if best is None:
-        return False, 1, block_k, round_up(Lq, block_q)
+    if best is None:        # unpacked narrow tile always fits in practice
+        return 1, min(block_k, 512), round_up(Lq, block_q)
     _, pack, bk, pLq = best
-    return True, pack, bk, pLq
+    return pack, bk, pLq
 
 
 @functools.partial(
@@ -1365,7 +1442,7 @@ def flash_attention_backward(
     *,
     causal: bool = False,
     scale: float | None = None,
-    block_q: int = DEFAULT_BLOCK_Q_BWD,
+    block_q: int | None = None,
     block_k: int = DEFAULT_BLOCK_K_BWD,
     q_pack: int | None = None,
     dropout_rate: float = 0.0,
@@ -1424,7 +1501,8 @@ def flash_attention_backward(
             "fast_exp=True degrades the softmax tail to bf16 — fp32 inputs "
             "are exact-parity mode and must not take it")
 
-    block_q = min(block_q, round_up(Lq, 8))
+    if block_q is not None:
+        block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
     if jnp.dtype(q.dtype).itemsize >= 4:
         # fp32 HIGHEST-precision dots hold multi-pass operand splits in
@@ -1436,7 +1514,7 @@ def flash_attention_backward(
         q_offset = Lk - Lq
 
     ib = jnp.dtype(q.dtype).itemsize
-    will_fuse, q_pack, bk_sel, pLq = select_bwd_fused_config(
+    will_fuse, block_q, q_pack, bk_sel, pLq = select_bwd_fused_config(
         Lq, Lk, d, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, itemsize=ib, q_pack=q_pack, window=window)
     if will_fuse:
@@ -1444,6 +1522,15 @@ def flash_attention_backward(
         # two-pass kernels have no full-sequence terms and keep the wide
         # tile (two-pass L=16k at bk=2048 measured 11.7 ms vs 13.7 at 512)
         block_k = bk_sel
+        bk_dkv = bk_sel
+    else:
+        # Two-pass fallback: the dK/dV pass has no full-sequence VMEM
+        # terms, so it packs Q groups exactly like the fused body (its own
+        # (q_pack, bk) choice, step-minimizing); the dQ pass keeps
+        # per-tile Q blocks and the wide KV tile.
+        q_pack, bk_dkv, pLq = select_bwd_dkv_config(
+            Lq, Lk, d, block_q=block_q, block_k=block_k, causal=causal,
+            q_offset=q_offset, itemsize=ib, window=window)
     group_q = block_q * q_pack
 
     pLk = round_up(Lk, block_k)
@@ -1475,20 +1562,16 @@ def flash_attention_backward(
             kdl = k.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
             vdl = v.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
         kf, vf = pad_to(kdl, 2, pLk), pad_to(vdl, 2, pLk)
-        kv_block = (1, d, block_k)
         kv_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
         ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
         vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-        scale_block = (1, 1, block_k)
         scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
     else:
         kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
         vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
-        kv_block = (1, block_k, d)
         kv_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
-        ksf = vsf = jnp.ones((B * Hkv, 1, 1), jnp.float32)
-        scale_block = (1, 1, 1)
-        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, 0)
+        ksf = vsf = None
+        scale_index = None
     # gradients are w.r.t. the (dequantized) fp values
     grad_dtype = q.dtype
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
@@ -1504,13 +1587,10 @@ def flash_attention_backward(
         seg = segment_ids.astype(jnp.int32)
         qsegf = pad_to(seg[:, :, None], 1, pLq, fill=-1)
         ksegf = pad_to(seg[:, None, :], 2, pLk, fill=-1)
-        qseg_block, kseg_block = (1, group_q, 1), (1, 1, block_k)
         qseg_index = lambda b, t, im, jm, *r: (b // H, im[t], 0)
         kseg_index = lambda b, t, im, jm, *r: (b // H, 0, jm[t])
     else:
-        qsegf = ksegf = jnp.zeros((B, 1, 1), jnp.int32)
-        qseg_block = kseg_block = (1, 1, 1)
-        qseg_index = kseg_index = lambda b, t, im, jm, *r: (b // H, 0, 0)
+        qsegf = ksegf = qseg_index = kseg_index = None
 
     num_q, num_kv = pLq // block_q, pLk // block_k
 
@@ -1525,27 +1605,39 @@ def flash_attention_backward(
     # Dummy scale/segment specs cost per-grid-step pipeline bookkeeping
     # (like the forward): only live operands ride the spec list; a shared
     # wrapper reinserts None refs for the kernel signatures.  Q-side blocks
-    # are GROUP-sized (group_q == block_q for the two-pass kernels and for
-    # an unpacked fused form); ``im`` is in group units.
-    common_in_specs = [
-        pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        pl.BlockSpec(kv_block, kv_index),
-        pl.BlockSpec(kv_block, kv_index),
-    ]
+    # are GROUP-sized (``im`` is in group units); the index maps are in
+    # block units so the same maps serve any (qrows, bk) combination.
+    def _in_specs(qrows, bk):
+        kv_blk = (1, d, bk) if quantized else (1, bk, d)
+        specs = [
+            pl.BlockSpec((1, qrows, d),
+                         lambda b, t, im, jm, *r: (b, im[t], 0)),
+            pl.BlockSpec(kv_blk, kv_index),
+            pl.BlockSpec(kv_blk, kv_index),
+        ]
+        if quantized:
+            specs += [pl.BlockSpec((1, 1, bk), scale_index)] * 2
+        if segmented:
+            specs += [
+                pl.BlockSpec((1, qrows, 1), qseg_index),
+                pl.BlockSpec((1, 1, bk), kseg_index),
+            ]
+        specs += [
+            pl.BlockSpec((1, qrows, d),
+                         lambda b, t, im, jm, *r: (b, im[t], 0)),
+            pl.BlockSpec((1, qrows, 1),
+                         lambda b, t, im, jm, *r: (b, im[t], 0)),
+            pl.BlockSpec((1, qrows, 1),
+                         lambda b, t, im, jm, *r: (b, im[t], 0)),
+        ]
+        return specs
+
+    common_in_specs = _in_specs(group_q, block_k)
     common_operands = [qf, kf, vf]
     if quantized:
-        common_in_specs += [pl.BlockSpec(scale_block, scale_index),
-                            pl.BlockSpec(scale_block, scale_index)]
         common_operands += [ksf, vsf]
     if segmented:
-        common_in_specs += [pl.BlockSpec(qseg_block, qseg_index),
-                            pl.BlockSpec(kseg_block, kseg_index)]
         common_operands += [qsegf, ksegf]
-    common_in_specs += [
-        pl.BlockSpec((1, group_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
-        pl.BlockSpec((1, group_q, 1), lambda b, t, im, jm, *r: (b, im[t], 0)),
-    ]
     common_operands += [dof, lsef, deltaf]
 
     def _wrap_bwd(kernel_fn):
@@ -1614,24 +1706,37 @@ def flash_attention_backward(
         dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
         return dq, dk, dv
 
-    kv_imap, kv_jmap, kv_flags, kv_wmap, kv_widths = _tile_schedule(
-        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, kv_len=Lk, kv_outer=True, window=window)
+    # dK/dV pass: packed KV-outer groups (the fused body with dQ disabled)
+    # at its own step-minimizing (q_pack, bk_dkv) — at L=16k bf16 this cuts
+    # 272 grid steps/(b,h) (unpacked 512x1024) to 40 (8x512x1024).
+    num_kv_dkv = round_up(Lk, bk_dkv) // bk_dkv
+    padded_kv_dkv = round_up(Lk, bk_dkv) != Lk
+    gmap, gjmap, gflags, gpat, gpatterns = _packed_kv_schedule(
+        pLq // group_q, num_kv_dkv, block_q=block_q, block_k=bk_dkv,
+        causal=causal, q_offset=q_offset, kv_len=Lk, q_pack=q_pack,
+        window=window)
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel,
-        scale=scale, causal=causal, block_q=block_q, block_k=block_k,
-        kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        n_heads=H, quantized=quantized, dropout_rate=dropout_rate, window=window,
-        segmented=segmented, fast_exp=fast_exp, widths=kv_widths,
+        scale=scale, causal=causal, block_q=block_q, block_k=bk_dkv,
+        kv_len=Lk, padded_kv=padded_kv_dkv, q_offset=q_offset, d=d, aug=aug,
+        n_heads=H, quantized=quantized, dropout_rate=dropout_rate,
+        window=window,
+        segmented=segmented, fast_exp=fast_exp, q_pack=q_pack,
+        patterns=gpatterns,
     )
     dkv_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(B * H, len(kv_imap)),
-        in_specs=common_in_specs,
-        out_specs=kv_out_specs,
+        grid=(B * H, len(gmap)),
+        in_specs=_in_specs(group_q, bk_dkv),
+        out_specs=[
+            pl.BlockSpec((1, bk_dkv, d),
+                         lambda b, t, im, jm, *r: (b, jm[t], 0)),
+            pl.BlockSpec((1, bk_dkv, d),
+                         lambda b, t, im, jm, *r: (b, jm[t], 0)),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, dw), jnp.float32),
-            pltpu.VMEM((block_k, dw), jnp.float32),
+            pltpu.VMEM((bk_dkv, dw), jnp.float32),
+            pltpu.VMEM((bk_dkv, dw), jnp.float32),
         ],
     )
     dk, dv = pl.pallas_call(
@@ -1645,8 +1750,8 @@ def flash_attention_backward(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(jnp.asarray(kv_imap), jnp.asarray(kv_jmap), jnp.asarray(kv_flags),
-      jnp.asarray(kv_wmap), seed_arr, *common_operands)
+    )(jnp.asarray(gmap), jnp.asarray(gjmap), jnp.asarray(gflags),
+      jnp.asarray(gpat), seed_arr, *common_operands)
 
     q_imap, q_jmap, q_flags, q_wmap, q_widths = _tile_schedule(
         num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
@@ -1662,7 +1767,7 @@ def flash_attention_backward(
     dq_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(B * H, len(q_imap)),
-        in_specs=common_in_specs,
+        in_specs=_in_specs(block_q, block_k),
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, t, im, jm, *r: (b, im[t], 0)),
         ],
