@@ -66,10 +66,10 @@ def _bwd_blocks(L, d, itemsize=2, q_pack=1):
     the floor/DMA parts attribute)."""
     from tpu_flash.kernels.flash_attention import select_bwd_fused_config
     block_q = min(DEFAULT_BLOCK_Q_BWD, L)
-    fused, pack, bk, pLq = select_bwd_fused_config(
+    fused, bq, pack, bk, pLq, hbm = select_bwd_fused_config(
         L, L, d, block_q=block_q, block_k=min(DEFAULT_BLOCK_K_BWD, L),
         causal=True, q_offset=0, itemsize=itemsize, q_pack=q_pack)
-    return block_q, bk, fused
+    return bq, bk, fused
 
 
 # ------------------------------------------------------------------ rates
@@ -390,11 +390,12 @@ def main():
         for cfg in (HEADLINE, NORTHSTAR):
             for pack in (None, 1, 2, 4, 8):
                 sel = select_bwd_fused_config(
-                    cfg["L"], cfg["L"], cfg["d"], block_q=512,
+                    cfg["L"], cfg["L"], cfg["d"], block_q=None,
                     block_k=min(2048, cfg["L"]), causal=True, q_offset=0,
                     itemsize=2, q_pack=pack)
                 tag = (f"bf16 L{cfg['L']} pack={pack or 'auto'} "
-                       f"-> {sel[1]}x512x{sel[2]}")
+                       f"-> {sel[2]}x{sel[1]}x{sel[3]}"
+                       f"{' hbm' if sel[5] else ''}")
                 run_prod(cfg, q_pack=pack, label=tag)
         run_prod(NORTHSTAR, kv_quant="int8", label="int8 L8192 (auto)")
         run_prod(NORTHSTAR, kv_quant="int8", q_pack=1,

@@ -379,9 +379,34 @@ def test_backward_two_pass_packed_matches_fused(rng, monkeypatch):
     # force the two-pass form while leaving the dkv pack selector its real
     # VMEM cap (so it actually picks a q_pack > 1 at this shape)
     monkeypatch.setattr(fa, "select_bwd_fused_config",
-                        lambda *a, **k: (False, 64, 1, 128, 512))
+                        lambda *a, **k: (False, 64, 1, 128, 512, False))
     twopass = raw(q, k, v, out, lse, do, causal=True, block_q=64,
                   block_k=128, interpret=True)
     for a, b in zip(fused, twopass):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-6)
+
+
+def test_backward_dq_hbm_output_matches(rng, monkeypatch):
+    """The HBM dQ-output mode (pl.ANY output + staged manual DMA — the
+    L>=16k fused unlock) must produce identical gradients to the
+    pipelined-output mode."""
+    import jax.numpy as jnp
+    from tpu_flash.kernels import flash_attention as fa
+
+    B, H, L, d = 1, 2, 512, 32
+    q, k, v, do = (jnp.asarray(rng.standard_normal((B, H, L, d)),
+                               jnp.float32) for _ in range(4))
+    out, lse, _ = fa.flash_attention_forward(q, k, v, causal=True,
+                                             block_q=128, block_k=128)
+    raw = fa.flash_attention_backward.__wrapped__
+    base = raw(q, k, v, out, lse, do, causal=True, block_q=128,
+               block_k=128, q_pack=2, interpret=True)
+    monkeypatch.setattr(
+        fa, "select_bwd_fused_config",
+        lambda *a, **k: (True, 128, 2, 128, 512, True))
+    hbm = raw(q, k, v, out, lse, do, causal=True, block_q=128,
+              block_k=128, q_pack=2, interpret=True)
+    for a, b in zip(hbm, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)

@@ -24,11 +24,11 @@ def main():
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(0)
     for (B, H, L, d) in [(4, 8, 2048, 64), (1, 8, 8192, 64)]:
-        sel = select_bwd_fused_config(L, L, d, block_q=512,
+        sel = select_bwd_fused_config(L, L, d, block_q=None,
                                       block_k=min(2048, L), causal=True,
                                       q_offset=0, itemsize=2)
-        print(f"L={L}: auto -> fused={sel[0]} pack={sel[1]} bk={sel[2]}",
-              flush=True)
+        print(f"L={L}: auto -> fused={sel[0]} bq={sel[1]} pack={sel[2]} "
+              f"bk={sel[3]} dq_hbm={sel[5]}", flush=True)
         q, k, v, do = (jnp.asarray(rng.standard_normal((B, H, L, d)),
                                    jnp.bfloat16) for _ in range(4))
         o, lse, _ = flash_attention_forward(q, k, v, causal=True)

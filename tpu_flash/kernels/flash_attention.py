@@ -1120,18 +1120,19 @@ def _bwd_fused_kernel(
     q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dq_ref,
-    dk_acc, dv_acc, dq_acc,
+    dk_acc, dv_acc, dq_acc, dq_stage=None, dq_sem=None,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
     n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
     q_pack, patterns,
 ):
     """Single-pass backward: the packed KV-outer body with the dQ
-    full-sequence accumulator enabled."""
+    full-sequence accumulator enabled (``dq_stage``/``dq_sem`` present in
+    the HBM-output mode)."""
     _bwd_kv_outer_body(
         imap_ref, jmap_ref, flags_ref, pat_ref, seed_ref,
         q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
         do_ref, lse_ref, delta_ref,
-        dk_ref, dv_ref, dq_ref, dk_acc, dv_acc, dq_acc,
+        dk_ref, dv_ref, dq_ref, dk_acc, dv_acc, dq_acc, dq_stage, dq_sem,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=kv_len, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
         n_steps=n_steps, n_heads=n_heads, quantized=quantized,
@@ -1144,7 +1145,7 @@ def _bwd_kv_outer_body(
     q_ref, k_ref, v_ref, ks_ref, vs_ref, qseg_ref, kseg_ref,
     do_ref, lse_ref, delta_ref,
     dk_ref, dv_ref, dq_ref,
-    dk_acc, dv_acc, dq_acc,
+    dk_acc, dv_acc, dq_acc, dq_stage=None, dq_sem=None,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
     n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
     q_pack, patterns,
@@ -1256,7 +1257,25 @@ def _bwd_kv_outer_body(
         dk_ref[0] = (scale * dk_acc[:, :d]).astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[:, :d].astype(dv_ref.dtype)
 
-    if dq_acc is not None:
+    if dq_acc is not None and dq_stage is not None:
+        # dQ output lives in HBM (pl.ANY): no pipelined output block, so
+        # the full-sequence configs whose triple-buffered dq output would
+        # blow scoped VMEM (L>=16k) can still run the 5-dot single pass.
+        # At this (b,h) row's last step, convert the fp32 scratch in
+        # group-sized chunks through a small staging tile and DMA each to
+        # its slice — ~1-3 us per (b,h), nothing against the row's compute.
+        @pl.when(t == n_steps - 1)
+        def _epilogue_dq_hbm():
+            rows = dq_stage.shape[0]
+            for c in range(dq_acc.shape[0] // rows):
+                dq_stage[:] = (scale * dq_acc[pl.ds(c * rows, rows), :d]
+                               ).astype(dq_stage.dtype)
+                cp = pltpu.make_async_copy(
+                    dq_stage, dq_ref.at[bh, pl.ds(c * rows, rows), :],
+                    dq_sem)
+                cp.start()
+                cp.wait()
+    elif dq_acc is not None:
         @pl.when(t == n_steps - 1)
         def _epilogue_dq():
             dq_ref[0] = (scale * dq_acc[:, :d]).astype(dq_ref.dtype)
@@ -1302,21 +1321,27 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
     both 512- and 256-row sub-tiles.  If nothing fits, the two-pass form
     engages (its per-step footprint has no full-sequence terms).
 
-    Returns ``(will_fuse, block_q, q_pack, block_k, pLq)``.
+    Returns ``(will_fuse, block_q, q_pack, block_k, pLq, dq_hbm)`` —
+    ``dq_hbm`` selects the HBM dQ output (no pipelined output block, a
+    staging tile + manual DMA instead): it frees the triple-buffered
+    ``3*pLq*d`` output term, which is what unlocks the 5-dot single pass
+    at L>=16k.
     """
     dwf = d + 1 if _fold_l(d) else d
 
-    def footprint(bq, bk, pack, pLq_):
+    def footprint(bq, bk, pack, pLq_, hbm):
         # Calibrated against observed Mosaic scoped-vmem outcomes (round 2:
         # L=2048/bk=2048 compiles at model 12.1M, L=8192/bk=2048 OOMs at
         # 21.75M, L=16384/bk=512 OOMs at 19.75M -> two-pass).  The dq
         # output block is counted triple-buffered — that is what the
         # observed failures calibrate to.
         score_tiles = 2 if pack == 1 else 4   # pipelined: two chains live
+        dq_out = (min(pLq_, bq * pack) * d * itemsize if hbm   # staging
+                  else 3 * pLq_ * d * itemsize)  # buffered output block
         return (score_tiles * bq * bk * 4   # live fp32 score-chain tiles
                 + 2 * bk * dwf * 4          # dk/dv accumulators
                 + pLq_ * dwf * 4            # full-sequence dq scratch
-                + 3 * pLq_ * d * itemsize   # buffered dq output block
+                + dq_out
                 + 4 * bk * d * itemsize     # double-buffered K/V tiles
                 + 4 * pack * bq * d * itemsize)  # dbl-buf Q/dO groups
 
@@ -1325,7 +1350,7 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
     cap = _FUSED_VMEM_CAP_FP32 if itemsize >= 4 else _FUSED_VMEM_CAP_BF16
     bq_candidates = ([block_q] if block_q is not None
                      else [min(b, round_up(Lq, 8)) for b in (512, 256)])
-    best = None          # ((steps, -bk, bq), bq, pack, bk, pLq)
+    best = None     # ((steps, -bk, bq, hbm), bq, pack, bk, pLq, hbm)
     for bq in dict.fromkeys(bq_candidates):
         num_q_tiles = round_up(Lq, bq) // bq
         if q_pack is not None:
@@ -1334,25 +1359,28 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
             pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
         for pack in pack_candidates:
             pLq_p = round_up(Lq, bq * pack)
-            bk_p = block_k
-            while bk_p > 512 and footprint(bq, bk_p, pack, pLq_p) > cap:
-                bk_p //= 2
-            if footprint(bq, bk_p, pack, pLq_p) > cap:
-                continue
-            gmap_p, *_ = _packed_kv_schedule(
-                pLq_p // (bq * pack), round_up(Lk, bk_p) // bk_p,
-                block_q=bq, block_k=bk_p, causal=causal,
-                q_offset=q_offset, kv_len=Lk, q_pack=pack, window=window)
-            key = (len(gmap_p), -bk_p, bq)
-            if best is None or key < best[0]:
-                best = (key, bq, pack, bk_p, pLq_p)
+            for hbm in (False, True):
+                bk_p = block_k
+                while bk_p > 512 and \
+                        footprint(bq, bk_p, pack, pLq_p, hbm) > cap:
+                    bk_p //= 2
+                if footprint(bq, bk_p, pack, pLq_p, hbm) > cap:
+                    continue
+                gmap_p, *_ = _packed_kv_schedule(
+                    pLq_p // (bq * pack), round_up(Lk, bk_p) // bk_p,
+                    block_q=bq, block_k=bk_p, causal=causal,
+                    q_offset=q_offset, kv_len=Lk, q_pack=pack,
+                    window=window)
+                key = (len(gmap_p), -bk_p, bq, hbm)
+                if best is None or key < best[0]:
+                    best = (key, bq, pack, bk_p, pLq_p, hbm)
     if best is None:
         bq = block_q or DEFAULT_BLOCK_Q_BWD
         bq = min(bq, round_up(Lq, 8))
-        return False, bq, 1, block_k, round_up(Lq, bq)
-    _, bq, pack, bk, pLq = best
+        return False, bq, 1, block_k, round_up(Lq, bq), False
+    _, bq, pack, bk, pLq, hbm = best
     if q_pack is not None:      # explicit pack = sweep mode: honor it
-        return True, bq, pack, bk, pLq
+        return True, bq, pack, bk, pLq, hbm
 
     # A fitting fused config is not automatically the right one: at
     # L=16k only narrow unpacked tiles fit (the full-sequence dq terms),
@@ -1384,8 +1412,8 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
     fused_cost = 5 * macs / rate + len(gmap_f) * c_step
     twopass_cost = 7 * macs / rate + (len(s_dkv) + len(s_dq)) * c_step
     if fused_cost > twopass_cost:
-        return False, bq2, 1, block_k, round_up(Lq, bq2)
-    return True, bq, pack, bk, pLq
+        return False, bq2, 1, block_k, round_up(Lq, bq2), False
+    return True, bq, pack, bk, pLq, hbm
 
 
 def select_bwd_dkv_config(Lq, Lk, d, *, block_q, block_k, causal, q_offset,
@@ -1514,9 +1542,10 @@ def flash_attention_backward(
         q_offset = Lk - Lq
 
     ib = jnp.dtype(q.dtype).itemsize
-    will_fuse, block_q, q_pack, bk_sel, pLq = select_bwd_fused_config(
-        Lq, Lk, d, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=q_offset, itemsize=ib, q_pack=q_pack, window=window)
+    will_fuse, block_q, q_pack, bk_sel, pLq, dq_hbm = \
+        select_bwd_fused_config(
+            Lq, Lk, d, block_q=block_q, block_k=block_k, causal=causal,
+            q_offset=q_offset, itemsize=ib, q_pack=q_pack, window=window)
     if will_fuse:
         # the clamped tile only applies to the fused single-pass form; the
         # two-pass kernels have no full-sequence terms and keep the wide
@@ -1675,18 +1704,23 @@ def flash_attention_backward(
             dropout_rate=dropout_rate, window=window, segmented=segmented,
             fast_exp=fast_exp, q_pack=q_pack, patterns=gpatterns,
         )
+        dq_out_spec = (
+            pl.BlockSpec(memory_space=pl.ANY) if dq_hbm else
+            pl.BlockSpec((1, pLq, d), lambda b, t, im, jm, *r: (b, 0, 0)))
+        scratch = [
+            pltpu.VMEM((block_k, dw), jnp.float32),
+            pltpu.VMEM((block_k, dw), jnp.float32),
+            pltpu.VMEM((pLq, dw), jnp.float32),
+        ]
+        if dq_hbm:
+            scratch += [pltpu.VMEM((min(pLq, group_q), d), q.dtype),
+                        pltpu.SemaphoreType.DMA]
         fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=(B * H, len(gmap)),
             in_specs=common_in_specs,
-            out_specs=kv_out_specs + [
-                pl.BlockSpec((1, pLq, d), lambda b, t, im, jm, *r: (b, 0, 0)),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((block_k, dw), jnp.float32),
-                pltpu.VMEM((block_k, dw), jnp.float32),
-                pltpu.VMEM((pLq, dw), jnp.float32),
-            ],
+            out_specs=kv_out_specs + [dq_out_spec],
+            scratch_shapes=scratch,
         )
         dk, dv, dq = pl.pallas_call(
             _wrap_bwd(fused_kernel),
