@@ -400,11 +400,16 @@ def main():
         run_prod(NORTHSTAR, kv_quant="int8", label="int8 L8192 (auto)")
         run_prod(NORTHSTAR, kv_quant="int8", q_pack=1,
                  label="int8 L8192 pack=1")
-        # narrower sub-tiles, fw-style: pack=8 x 256-row chains
-        run_prod(NORTHSTAR, block_q=256, q_pack=8,
-                 label="bf16 L8192 8x256")
+        # explicit sub-tile-width comparison at the north-star shape
+        run_prod(NORTHSTAR, block_q=512, q_pack=8, label="bf16 L8192 8x512")
         run_prod(NORTHSTAR, kv_quant="int8", block_q=256, q_pack=8,
                  label="int8 L8192 8x256")
+        # L=16k: the HBM-dq fused unlock (two-pass baseline: 11.73 ms =
+        # 58.6 TF/s, RESULTS.md round-2 long-context table)
+        L16 = dict(B=1, H=8, L=16384, d=64)
+        run_prod(L16, label="bf16 L16384 auto (fused-hbm)")
+        run_prod(L16, block_q=512, q_pack=1,
+                 label="bf16 L16384 1x512 fused-hbm")
 
     if which in ("packed", "all"):
         print("== packed prototype at the north-star shape ==", flush=True)

@@ -252,3 +252,38 @@ def test_fast_exp_rejected_for_fp32():
     with pytest.raises(ValueError, match="fast_exp"):
         flash_attention_backward(q, q, q, o, lse, o, causal=True,
                                  fast_exp=True)
+
+
+@pytest.mark.parametrize("mode", ["int8", "fp8"])
+def test_kv_quant_auto_below_crossover_matches_kernel(mode):
+    """attention_kind="auto" with kv_quant at L below the flash crossover
+    takes the dense XLA path on straight-through dequantized K/V — the
+    same quantization math as the kernel path, so the two forms must
+    agree within kernel tolerance (and gradients must flow)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_flash import nn
+
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, 64, (2, 48)), jnp.int32)
+
+    outs = {}
+    for kind in ("auto", "flash"):
+        cfg = nn.DecoderConfig(
+            n_vocab=64, n_embd=64, n_head=4, n_positions=48, n_layer=2,
+            p_dropout=0.0, attention_kind=kind, kv_quant=mode)
+        model = nn.DecoderLM(cfg)
+        params = model.init(jax.random.key(0))
+
+        def loss(params):
+            return jnp.mean(model(params, ids).astype(jnp.float32) ** 2)
+
+        val, grads = jax.value_and_grad(loss)(params)
+        assert jnp.isfinite(val)
+        gnorm = sum(float(jnp.sum(jnp.abs(g.astype(jnp.float32))))
+                    for g in jax.tree_util.tree_leaves(grads))
+        assert np.isfinite(gnorm) and gnorm > 0
+        outs[kind] = float(val)
+    assert abs(outs["auto"] - outs["flash"]) < 2e-2 * max(
+        1.0, abs(outs["flash"])), outs

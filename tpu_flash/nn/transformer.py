@@ -169,10 +169,27 @@ class MultiHeadAttention(Module):
         c = self.cfg
         kind = c.attention_kind
         if kind == "auto":
-            # kv_quant exists only as a kernel form — auto always takes it
-            # to the flash path regardless of sequence length.
-            kind = ("flash" if c.kv_quant != "none"
-                    or q.shape[-2] >= _FLASH_AUTO_MIN_L else "naive")
+            if c.kv_quant != "none" and q.shape[-2] < _FLASH_AUTO_MIN_L:
+                # Below the measured flash crossover, quantized-KV training
+                # runs the dense XLA path on straight-through dequantized
+                # K/V — the same codes/scales math as the kernel path
+                # (ops/attention._quantize_kv), so loss and gradients match
+                # the kernel form within quantization noise while keeping
+                # the naive path's small-L speed win (flash is 0.66x at
+                # reference scale, bench/sweep_auto.py).
+                from tpu_flash.ops.attention import _quantize_kv
+
+                def st(x):
+                    codes, scales = _quantize_kv(x, c.kv_quant)
+                    dq = (codes.astype(jnp.float32)
+                          * scales[..., None]).astype(x.dtype)
+                    return x + jax.lax.stop_gradient(dq - x)
+
+                k, v = st(k), st(v)
+                kind = "naive"
+            else:
+                kind = ("flash" if c.kv_quant != "none"
+                        or q.shape[-2] >= _FLASH_AUTO_MIN_L else "naive")
         if kind != "flash" and k.shape[1] != q.shape[1]:
             # GQA: the dense [B, H, L, d] paths repeat each KV head across
             # its query group; the flash kernel (like the decode kernel)
