@@ -188,15 +188,24 @@ def dot_floor_ms(B, H, L, d, *, block_q, block_k, causal=True,
 
 
 # -------------------------------------------------------------------- dma
-def dma_probe(q, k, v, do, lse, delta, *, block_q, block_k, causal=True):
-    """The fused backward's exact grid/specs/scratch; body = VPU adds."""
+def dma_probe(q, k, v, do, lse, delta, *, block_q, block_k, causal=True,
+              q_pack=1):
+    """The fused backward's exact grid/specs/scratch; body = VPU adds.
+    ``q_pack`` > 1 probes the PACKED schedule (group-sized Q/dO blocks)."""
+    from tpu_flash.kernels.flash_attention import _packed_kv_schedule
     Bh, Lq, d = q.shape
     Lk = k.shape[1]
     dw = d + 1 if _fold_l(d) else d
-    num_q, num_kv = Lq // block_q, Lk // block_k
-    imap, jmap, flags, wmap, widths = _tile_schedule(
-        num_q, num_kv, block_q=block_q, block_k=block_k, causal=causal,
-        q_offset=0, kv_len=Lk, kv_outer=True)
+    group_q = block_q * q_pack
+    num_q, num_kv = Lq // group_q, Lk // block_k
+    imap, jmap, flags, wmap, widths = (
+        _packed_kv_schedule(num_q, num_kv, block_q=block_q,
+                            block_k=block_k, causal=causal, q_offset=0,
+                            kv_len=Lk, q_pack=q_pack)
+        if q_pack > 1 else
+        _tile_schedule(num_q, num_kv, block_q=block_q, block_k=block_k,
+                       causal=causal, q_offset=0, kv_len=Lk, kv_outer=True))
+    block_q = group_q          # specs below are group-sized
     pLq = Lq
     n_steps = len(imap)
 
@@ -276,19 +285,26 @@ def dma_probe(q, k, v, do, lse, delta, *, block_q, block_k, causal=True):
     return run, len(imap) * Bh
 
 
-def run_dma(cfg):
+def run_dma(cfg, q_pack=None, block_q=None, block_k=None):
     B, H, L, d = cfg["B"], cfg["H"], cfg["L"], cfg["d"]
-    bq, bk, fused = _bwd_blocks(L, d)
+    if block_q is None or block_k is None:
+        from tpu_flash.kernels.flash_attention import select_bwd_fused_config
+        _, bq, pk, bk, _, _ = select_bwd_fused_config(
+            L, L, d, block_q=None, block_k=min(2048, L), causal=True,
+            q_offset=0, itemsize=2, q_pack=q_pack)
+        block_q, block_k = bq, bk
+        q_pack = pk
     rng = np.random.default_rng(0)
     q, k, v, do = (jnp.asarray(
         rng.standard_normal((B * H, L, d)), jnp.bfloat16) for _ in range(4))
     lse = jnp.asarray(rng.standard_normal((B * H, L, 1)), jnp.float32)
     delta = jnp.asarray(rng.standard_normal((B * H, L, 1)), jnp.float32)
-    run, steps = dma_probe(q, k, v, do, lse, delta, block_q=bq, block_k=bk)
+    run, steps = dma_probe(q, k, v, do, lse, delta, block_q=block_q,
+                           block_k=block_k, q_pack=q_pack)
     nbytes = sum(x.nbytes for x in (q, k, v, do, lse, delta))
-    r = benchmark(run, q, k, v, do, lse, delta,
-                  name=f"dma_L{L}_{bq}x{bk}")
-    print(f"  B{B} H{H} L{L} {bq}x{bk}: {r.mean_ms:.3f} ms over {steps} "
+    tag = f"{q_pack}x{block_q}x{block_k}"
+    r = benchmark(run, q, k, v, do, lse, delta, name=f"dma_L{L}_{tag}")
+    print(f"  B{B} H{H} L{L} {tag}: {r.mean_ms:.3f} ms over {steps} "
           f"steps ({r.mean_ms / steps * 1e3:.2f} us/step), input "
           f"{nbytes / 1e6:.0f} MB -> {nbytes / r.mean_ms / 1e6:.0f} GB/s",
           flush=True)
@@ -382,7 +398,8 @@ def main():
     if which in ("dma", "all"):
         print("== dma probes (fused specs, no-MXU body) ==", flush=True)
         for cfg in (HEADLINE, NORTHSTAR):
-            run_dma(cfg)
+            run_dma(cfg, q_pack=1)      # the unpacked baseline schedule
+            run_dma(cfg)                # the packed production schedule
 
     if which in ("prod", "all"):
         from tpu_flash.kernels.flash_attention import select_bwd_fused_config
