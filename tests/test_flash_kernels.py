@@ -410,3 +410,28 @@ def test_backward_dq_hbm_output_matches(rng, monkeypatch):
     for a, b in zip(hbm, base):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-6)
+
+
+@pytest.mark.parametrize("L", [64, 200, 1024, 2048, 8192, 16384, 65536])
+def test_bwd_selector_invariants(L):
+    """Auto-selected backward configs must be internally consistent:
+    pLq a multiple of the group, block_k a power-of-two divisor of the
+    padded KV extent, pack within the sequence."""
+    from tpu_flash.kernels.flash_attention import (
+        select_bwd_dkv_config, select_bwd_fused_config)
+
+    for itemsize in (2, 4):
+        fused, bq, pack, bk, pLq, hbm = select_bwd_fused_config(
+            L, L, 64, block_q=None, block_k=min(2048, L), causal=True,
+            q_offset=0, itemsize=itemsize)
+        assert pLq % (bq * pack) == 0
+        assert pLq >= L
+        assert bq * pack <= pLq
+        if fused:
+            assert (-(-L // bk)) * bk % bk == 0
+        pack2, bk2, pLq2 = select_bwd_dkv_config(
+            L, L, 64, block_q=bq, block_k=min(2048, L), causal=True,
+            q_offset=0, itemsize=itemsize)
+        assert pLq2 % (bq * pack2) == 0
+        # dkv bk must divide the dq pass's wide-tile padding
+        assert (-(-L // min(2048, L))) * min(2048, L) % bk2 == 0
