@@ -428,6 +428,31 @@ def main():
         run_prod(L16, block_q=512, q_pack=1,
                  label="bf16 L16384 1x512 fused-hbm")
 
+    if which in ("fw", "all"):
+        # forward step-count lever at the north-star shape: 2048-wide KV
+        # tiles halve the grid steps (20 -> 10 per (b,h)) for +3% executed
+        # diagonal volume — net win if the ~1.3us/step model holds
+        print("== forward KV-tile width at L=8192 ==", flush=True)
+        for cfg in (NORTHSTAR, HEADLINE):
+            B, H, L, d = cfg["B"], cfg["H"], cfg["L"], cfg["d"]
+            rng = np.random.default_rng(0)
+            q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, d)),
+                                   jnp.bfloat16) for _ in range(3))
+            fl = attention_flops(B, H, L, d, causal=True)
+            for bq, bk, pack in [(256, 1024, 8), (256, 2048, 8),
+                                 (256, 2048, 4), (512, 2048, 4)]:
+                try:
+                    f = functools.partial(
+                        flash_attention_forward, causal=True, block_q=bq,
+                        block_k=bk, q_pack=pack)
+                    r = benchmark(f, q, k, v,
+                                  name=f"fw_L{L}_{pack}x{bq}x{bk}", flops=fl)
+                    print(f"  fw L{L} {pack}x{bq}x{bk}: {r.mean_ms:7.3f} ms "
+                          f"{r.tflops:5.1f} TF/s", flush=True)
+                except Exception as e:
+                    print(f"  fw L{L} {pack}x{bq}x{bk}: FAILED "
+                          f"({type(e).__name__}: {str(e)[:100]})", flush=True)
+
     if which in ("packed", "all"):
         print("== packed prototype at the north-star shape ==", flush=True)
         run_packed(NORTHSTAR)
