@@ -675,6 +675,7 @@ def _train_loop(args, model, opt, params, opt_state, dataset,
                 ctx=ctx)
             scores = evaluate_bleu(dataset["test"], hyps, tgt_key)
             print(json.dumps({"epoch": epoch, **scores}))
+            metrics.log(step=epoch, event="bleu", **scores)
             for ex, hyp in list(zip(dataset["test"], hyps))[:3]:
                 print(json.dumps({"src": ex[src_key], "ref": ex[tgt_key],
                                   "hyp": hyp}))
