@@ -35,12 +35,15 @@ from tpu_flash import nn
 def main():
     kind = sys.argv[1] if len(sys.argv) > 1 else "flash"
     n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    print("backend:", jax.default_backend(), "kind:", kind, flush=True)
+    dtype = (jnp.float32 if len(sys.argv) > 3 and sys.argv[3] == "fp32"
+             else jnp.bfloat16)
+    print("backend:", jax.default_backend(), "kind:", kind,
+          "dtype:", dtype.__name__, flush=True)
 
     B, L, V = 129, 40, 4000
     cfg = nn.DecoderConfig(
         n_vocab=V, n_embd=256, n_head=8, n_positions=L, n_layer=4,
-        p_dropout=0.1, attention_kind=kind, dtype=jnp.bfloat16)
+        p_dropout=0.1, attention_kind=kind, dtype=dtype)
     model = nn.DecoderLM(cfg)
     key = jax.random.key(0)
     key, pkey = jax.random.split(key)
