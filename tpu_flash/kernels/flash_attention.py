@@ -1264,12 +1264,19 @@ def _bwd_kv_outer_body(
         # At this (b,h) row's last step, convert the fp32 scratch in
         # group-sized chunks through a small staging tile and DMA each to
         # its slice — ~1-3 us per (b,h), nothing against the row's compute.
+        # The staging tile and the HBM array are LANE-PADDED to 128 (DMA
+        # slices must align to the (8,128) tiling — a d=64 slice cannot
+        # DMA; the wrapper slices the pad columns off outside).
         @pl.when(t == n_steps - 1)
         def _epilogue_dq_hbm():
-            rows = dq_stage.shape[0]
+            rows, dpad = dq_stage.shape
             for c in range(dq_acc.shape[0] // rows):
-                dq_stage[:] = (scale * dq_acc[pl.ds(c * rows, rows), :d]
-                               ).astype(dq_stage.dtype)
+                dq_stage[:, :d] = (
+                    scale * dq_acc[pl.ds(c * rows, rows), :d]
+                ).astype(dq_stage.dtype)
+                if dpad > d:
+                    dq_stage[:, d:] = jnp.zeros(
+                        (rows, dpad - d), dq_stage.dtype)
                 cp = pltpu.make_async_copy(
                     dq_stage, dq_ref.at[bh, pl.ds(c * rows, rows), :],
                     dq_sem)
@@ -1704,6 +1711,7 @@ def flash_attention_backward(
             dropout_rate=dropout_rate, window=window, segmented=segmented,
             fast_exp=fast_exp, q_pack=q_pack, patterns=gpatterns,
         )
+        dpad = round_up(d, 128)     # DMA lane alignment (see epilogue)
         dq_out_spec = (
             pl.BlockSpec(memory_space=pl.ANY) if dq_hbm else
             pl.BlockSpec((1, pLq, d), lambda b, t, im, jm, *r: (b, 0, 0)))
@@ -1713,7 +1721,7 @@ def flash_attention_backward(
             pltpu.VMEM((pLq, dw), jnp.float32),
         ]
         if dq_hbm:
-            scratch += [pltpu.VMEM((min(pLq, group_q), d), q.dtype),
+            scratch += [pltpu.VMEM((min(pLq, group_q), dpad), q.dtype),
                         pltpu.SemaphoreType.DMA]
         fused_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
@@ -1728,7 +1736,8 @@ def flash_attention_backward(
             out_shape=[
                 jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
                 jax.ShapeDtypeStruct((B * H, pLk, d), grad_dtype),
-                jax.ShapeDtypeStruct((B * H, pLq, d), q.dtype),
+                jax.ShapeDtypeStruct(
+                    (B * H, pLq, dpad if dq_hbm else d), q.dtype),
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary"),
@@ -1736,7 +1745,7 @@ def flash_attention_backward(
             interpret=interpret,
         )(jnp.asarray(gmap), jnp.asarray(gjmap), jnp.asarray(gflags),
           jnp.asarray(gpat), seed_arr, *common_operands)
-        dq = dq[:, :Lq].reshape(B, H, Lq, d)
+        dq = dq[:, :Lq, :d].reshape(B, H, Lq, d)
         dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
         return dq, dk, dv
 
