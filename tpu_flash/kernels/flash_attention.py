@@ -1343,6 +1343,11 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
         # output block is counted triple-buffered — that is what the
         # observed failures calibrate to.
         score_tiles = 2 if pack == 1 else 4   # pipelined: two chains live
+        if hbm and pack == 1:
+            # observed: 1x512x2048-hbm at L=8192 allocated 16.63M vs the
+            # 2-tile model's 12.97M — without the packed pipeline
+            # structure Mosaic keeps a third score-chain tile live
+            score_tiles = 3
         dq_out = (min(pLq_, bq * pack) * d * itemsize if hbm   # staging
                   else 3 * pLq_ * d * itemsize)  # buffered output block
         return (score_tiles * bq * bk * 4   # live fp32 score-chain tiles
