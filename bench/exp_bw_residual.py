@@ -313,7 +313,7 @@ def run_dma(cfg, q_pack=None, block_q=None, block_k=None):
 
 # ------------------------------------------------------------------- prod
 def run_prod(cfg, *, kv_quant="none", block_q=None, block_k=None,
-             q_pack="default", label=""):
+             q_pack="default", fast_exp=None, label=""):
     B, H, L, d = cfg["B"], cfg["H"], cfg["L"], cfg["d"]
     rng = np.random.default_rng(0)
     q, k, v, do = (jnp.asarray(
@@ -325,6 +325,8 @@ def run_prod(cfg, *, kv_quant="none", block_q=None, block_k=None,
         kw["block_k"] = block_k
     if q_pack != "default":
         kw["q_pack"] = q_pack
+    if fast_exp is not None:
+        kw["fast_exp"] = fast_exp
     if kv_quant != "none":
         kq, ks = _quantize_kv(k, kv_quant)
         vq, vs = _quantize_kv(v, kv_quant)
@@ -427,6 +429,27 @@ def main():
         run_prod(L16, label="bf16 L16384 auto (fused-hbm)")
         run_prod(L16, block_q=512, q_pack=1,
                  label="bf16 L16384 1x512 fused-hbm")
+
+    if which in ("fx", "all"):
+        # fast_exp (bf16 score-chain temps) HALVES the dominant VMEM term,
+        # unlocking the wide-KV hbm config at L=8192 (10 steps + the
+        # 79-88 TF/s wide accumulation dots vs 67 at bk=1024).  The
+        # selector's model doesn't know fast_exp halves temps, so force
+        # the config for the measurement.
+        import tpu_flash.kernels.flash_attention as fa_mod
+        print("== fast_exp variants at the north-star shape ==", flush=True)
+        run_prod(NORTHSTAR, fast_exp=True, label="bf16 L8192 auto+fast_exp")
+        orig_sel = fa_mod.select_bwd_fused_config
+        try:
+            fa_mod.select_bwd_fused_config = \
+                lambda *a, **k: (True, 256, 8, 2048, 8192, True)
+            run_prod(NORTHSTAR, q_pack=4, fast_exp=True,
+                     label="bf16 L8192 8x256x2048-hbm fast_exp")
+        except Exception as e:
+            print(f"  forced 8x256x2048-hbm: FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})", flush=True)
+        finally:
+            fa_mod.select_bwd_fused_config = orig_sel
 
     if which in ("fw", "all"):
         # forward step-count lever at the north-star shape: 2048-wide KV
