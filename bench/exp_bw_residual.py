@@ -117,6 +117,33 @@ def bw_dot_cases(bq, w, d):
     ]
 
 
+def measure_transposed_probe(bq, w, d):
+    """Hypothesis probe: P^TdO/dS^TQ run at 66-79 TF/s vs QK's 94 with the
+    SAME MXU pass count — is the penalty the axis-0 (implicitly
+    transposed) contraction?  Measure the same products with the LHS
+    already transposed (axis-1 contraction, as a transposed-score-space
+    kernel would issue them) and the dq dot in its axis-0 form (where the
+    penalty would MOVE to).  If nat >> axis0, a [w, bq] score space nets
+    ~6% of the dot floor (2 penalized dots -> 1)."""
+    rng = np.random.default_rng(0)
+    dw = d + 1 if _fold_l(d) else d
+    for (name, a_s, b_s, dims, o_s, macs) in [
+        ("P_T.dO contract-ax1", (w, bq), (bq, dw), ((1,), (0,)), (w, dw),
+         bq * w * dw),
+        ("dS_T.K contract-ax0", (w, bq), (w, dw), ((0,), (0,)), (bq, dw),
+         bq * w * dw),
+    ]:
+        reps = max(1, (2048 * 512) // (max(a_s[0] * a_s[1],
+                                           b_s[0] * b_s[1])) // 2)
+        a = jnp.asarray(rng.standard_normal((reps,) + a_s), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((reps,) + b_s), jnp.bfloat16)
+        run = make_dot_kernel(a_s, b_s, dims, o_s, reps)
+        flops = 2.0 * macs * reps * 32
+        r = benchmark(run, a, b, name=name, flops=flops)
+        print(f"  {name:22s} bq={bq} w={w:5d}: {r.tflops:6.1f} TF/s",
+              flush=True)
+
+
 _RATE_CACHE: dict = {}
 
 
@@ -396,6 +423,11 @@ def main():
                   flush=True)
             dot_floor_ms(cfg["B"], cfg["H"], cfg["L"], cfg["d"],
                          block_q=bq, block_k=bk)
+
+    if which in ("rates", "floor", "all"):
+        print("== transposed-contraction hypothesis probe ==", flush=True)
+        for w in (1024, 2048):
+            measure_transposed_probe(512, w, 64)
 
     if which in ("dma", "all"):
         print("== dma probes (fused specs, no-MXU body) ==", flush=True)
