@@ -455,12 +455,13 @@ def main():
         run_prod(NORTHSTAR, block_q=512, q_pack=8, label="bf16 L8192 8x512")
         run_prod(NORTHSTAR, kv_quant="int8", block_q=256, q_pack=8,
                  label="int8 L8192 8x256")
-        # L=16k: the HBM-dq fused unlock (two-pass baseline: 11.73 ms =
-        # 58.6 TF/s, RESULTS.md round-2 long-context table)
+    if which in ("l16", "all"):
+        # L=16k/32k: the HBM-dq fused unlock (two-pass baselines: 11.73 /
+        # 45.0 ms, RESULTS.md round-2 long-context table)
         L16 = dict(B=1, H=8, L=16384, d=64)
         run_prod(L16, label="bf16 L16384 auto (fused-hbm)")
-        run_prod(L16, block_q=512, q_pack=1,
-                 label="bf16 L16384 1x512 fused-hbm")
+        L32 = dict(B=1, H=8, L=32768, d=64)
+        run_prod(L32, label="bf16 L32768 auto (fused-hbm)")
 
     if which in ("fx", "all"):
         # fast_exp (bf16 score-chain temps) HALVES the dominant VMEM term,

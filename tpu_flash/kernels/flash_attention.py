@@ -1270,18 +1270,27 @@ def _bwd_kv_outer_body(
         @pl.when(t == n_steps - 1)
         def _epilogue_dq_hbm():
             rows, dpad = dq_stage.shape
-            for c in range(dq_acc.shape[0] // rows):
+            n_chunks = dq_acc.shape[0] // rows
+            if dpad > d:
+                # pad lanes once; the loop only rewrites [:, :d]
+                dq_stage[:, d:] = jnp.zeros((rows, dpad - d),
+                                            dq_stage.dtype)
+
+            # fori_loop, NOT a python loop: an unrolled chunk loop keeps
+            # every chunk's conversion temp live (observed: +6M scoped
+            # vmem at L=16k -> OOM); the sequential loop holds one.
+            def chunk(c, carry):
+                row0 = pl.multiple_of(c * rows, rows)
                 dq_stage[:, :d] = (
-                    scale * dq_acc[pl.ds(c * rows, rows), :d]
+                    scale * dq_acc[pl.ds(row0, rows), :d]
                 ).astype(dq_stage.dtype)
-                if dpad > d:
-                    dq_stage[:, d:] = jnp.zeros(
-                        (rows, dpad - d), dq_stage.dtype)
                 cp = pltpu.make_async_copy(
-                    dq_stage, dq_ref.at[bh, pl.ds(c * rows, rows), :],
-                    dq_sem)
+                    dq_stage, dq_ref.at[bh, pl.ds(row0, rows), :], dq_sem)
                 cp.start()
                 cp.wait()
+                return carry
+
+            jax.lax.fori_loop(0, n_chunks, chunk, 0)
     elif dq_acc is not None:
         @pl.when(t == n_steps - 1)
         def _epilogue_dq():
@@ -1348,7 +1357,11 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
             # 2-tile model's 12.97M — without the packed pipeline
             # structure Mosaic keeps a third score-chain tile live
             score_tiles = 3
-        dq_out = (min(pLq_, bq * pack) * d * itemsize if hbm   # staging
+        # hbm: the staging tile (lane-padded) + one live fp32 conversion
+        # temp in the sequential chunk loop
+        group_rows = min(pLq_, bq * pack)
+        dq_out = (group_rows * round_up(d, 128) * itemsize
+                  + group_rows * d * 4 if hbm
                   else 3 * pLq_ * d * itemsize)  # buffered output block
         return (score_tiles * bq * bk * 4   # live fp32 score-chain tiles
                 + 2 * bk * dwf * 4          # dk/dv accumulators
