@@ -97,6 +97,21 @@ class KVCache:
             store_dtype = jnp.int8
             scales = jnp.zeros((batch, n_head, max_len), jnp.float32)
         elif quant == "fp8":
+            import warnings
+
+            # Measured recommendation (bench/bench_decode_model.py,
+            # 2026-08-20, post tile-halving fix): fp8 decodes at 5.60
+            # ms/step vs int8's 4.19 and bf16's 4.59 at the production
+            # config — the e4m3 bit-reconstruction cast stays costlier
+            # than the int8 cast and there is no BLEU gap between the two
+            # (RESULTS.md).  fp8 remains supported for cache-size parity
+            # experiments; int8 is the speed choice at the same footprint.
+            warnings.warn(
+                "fp8 KV-cache decode is measured SLOWER than int8 at the "
+                "same memory footprint (5.60 vs 4.19 ms/step at the "
+                "production config) with no quality gap — prefer "
+                "quant='int8' unless comparing formats",
+                stacklevel=2)
             store_dtype = jnp.float8_e4m3fn
             scales = jnp.zeros((batch, n_head, max_len), jnp.float32)
         else:

@@ -1384,7 +1384,12 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
             pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
         for pack in pack_candidates:
             pLq_p = round_up(Lq, bq * pack)
-            for hbm in (False, True):
+            # hbm is bf16-only: fp32 HIGHEST dots carry operand splits the
+            # model cannot see (a 4x256x512-hbm fp32 L=8192 config modeled
+            # 7.1M allocated 16.04M on-chip) — fp32 keeps the proven
+            # pipelined-output forms
+            hbm_opts = (False,) if itemsize >= 4 else (False, True)
+            for hbm in hbm_opts:
                 bk_p = block_k
                 while bk_p > 512 and \
                         footprint(bq, bk_p, pack, pLq_p, hbm) > cap:
