@@ -1358,10 +1358,14 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
             # structure Mosaic keeps a third score-chain tile live
             score_tiles = 3
         # hbm: the staging tile (lane-padded) + one live fp32 conversion
-        # temp in the sequential chunk loop
+        # temp in the sequential chunk loop + an observed EXTRA scratch-
+        # sized allocation (L=16k 8x256x1024-hbm allocated 16.50M vs the
+        # 11.6M base model — consistent with Mosaic double-buffering the
+        # full-sequence dq scratch around the manual DMA)
         group_rows = min(pLq_, bq * pack)
         dq_out = (group_rows * round_up(d, 128) * itemsize
-                  + group_rows * d * 4 if hbm
+                  + group_rows * d * 4
+                  + pLq_ * dwf * 4 if hbm
                   else 3 * pLq_ * d * itemsize)  # buffered output block
         return (score_tiles * bq * bk * 4   # live fp32 score-chain tiles
                 + 2 * bk * dwf * 4          # dk/dv accumulators
@@ -1390,11 +1394,16 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
             # pipelined-output forms
             hbm_opts = (False,) if itemsize >= 4 else (False, True)
             for hbm in hbm_opts:
+                # the hbm model carries its own calibrated overhead terms,
+                # so its residual error is small — judge it against a
+                # nearer-hardware cap (16M) instead of the conservative
+                # pipelined-mode cap
+                cap_m = int(14.0 * 1024 * 1024) if hbm else cap
                 bk_p = block_k
                 while bk_p > 512 and \
-                        footprint(bq, bk_p, pack, pLq_p, hbm) > cap:
+                        footprint(bq, bk_p, pack, pLq_p, hbm) > cap_m:
                     bk_p //= 2
-                if footprint(bq, bk_p, pack, pLq_p, hbm) > cap:
+                if footprint(bq, bk_p, pack, pLq_p, hbm) > cap_m:
                     continue
                 gmap_p, *_ = _packed_kv_schedule(
                     pLq_p // (bq * pack), round_up(Lk, bk_p) // bk_p,
