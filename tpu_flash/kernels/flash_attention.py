@@ -1392,7 +1392,12 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
             # model cannot see (a 4x256x512-hbm fp32 L=8192 config modeled
             # 7.1M allocated 16.04M on-chip) — fp32 keeps the proven
             # pipelined-output forms
-            hbm_opts = (False,) if itemsize >= 4 else (False, True)
+            # hbm is proven only at moderate sequence extents: every
+            # L=16384 hbm config allocated 16.1-16.8M on-chip regardless
+            # of tile sizes (an unmodeled ~pLq-scaled allocation), while
+            # L=8192 hbm forms compile and run.  bf16-only, pLq<=8192.
+            hbm_ok = itemsize == 2 and pLq_p <= 8192
+            hbm_opts = (False, True) if hbm_ok else (False,)
             for hbm in hbm_opts:
                 # the hbm model carries its own calibrated overhead terms,
                 # so its residual error is small — judge it against a
