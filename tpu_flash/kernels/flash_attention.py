@@ -1479,10 +1479,11 @@ def select_bwd_dkv_config(Lq, Lk, d, *, block_q, block_k, causal, q_offset,
     cap = _FUSED_VMEM_CAP_FP32 if itemsize >= 4 else _FUSED_VMEM_CAP_BF16
     num_q_tiles = round_up(Lq, block_q) // block_q
     best = None
-    # fp32 keeps the unpacked dK/dV pass: the packed group body's HIGHEST-
-    # precision operand splits spill (measured 30.7 ms vs the unpacked
-    # form's 21.4 at fp32 L=8192, bench/exp_fp32_configs 2026-08-20)
-    packs = [1] if itemsize >= 4 else [8, 4, 2, 1]
+    # The two-pass dK/dV stays UNPACKED: packed-group variants measured
+    # 2-8x SLOWER on-chip (bf16 L=16k 21.1 ms vs 11.7 unpacked; fp32
+    # L=8k 30.7 vs 21.4) — the near-cap footprints apparently spill.
+    # The packing machinery remains for future toolchains.
+    packs = [1]
     for pack in [p for p in packs if p <= num_q_tiles]:
         bk_p = block_k
         while bk_p > 512 and footprint(bk_p, pack) > cap:
