@@ -340,7 +340,7 @@ def run_dma(cfg, q_pack=None, block_q=None, block_k=None):
 
 # ------------------------------------------------------------------- prod
 def run_prod(cfg, *, kv_quant="none", block_q=None, block_k=None,
-             q_pack="default", fast_exp=None, label=""):
+             q_pack="default", fast_exp=None, score_layout=None, label=""):
     B, H, L, d = cfg["B"], cfg["H"], cfg["L"], cfg["d"]
     rng = np.random.default_rng(0)
     q, k, v, do = (jnp.asarray(
@@ -354,6 +354,8 @@ def run_prod(cfg, *, kv_quant="none", block_q=None, block_k=None,
         kw["q_pack"] = q_pack
     if fast_exp is not None:
         kw["fast_exp"] = fast_exp
+    if score_layout is not None:
+        kw["score_layout"] = score_layout
     if kv_quant != "none":
         kq, ks = _quantize_kv(k, kv_quant)
         vq, vs = _quantize_kv(v, kv_quant)
@@ -462,6 +464,18 @@ def main():
         run_prod(L16, label="bf16 L16384 auto (fused-hbm)")
         L32 = dict(B=1, H=8, L=32768, d=64)
         run_prod(L32, label="bf16 L32768 auto (fused-hbm)")
+
+    if which in ("wqx", "all"):
+        # transposed [w, bq] score space: moves the measured axis-0
+        # contraction penalty from two accumulation dots to one
+        # (bench probe: P^TdO 67.2 -> 80.6 TF/s at w=1024)
+        print("== wq (transposed) score layout ==", flush=True)
+        run_prod(NORTHSTAR, label="bf16 L8192 qw (default)")
+        run_prod(NORTHSTAR, score_layout="wq", label="bf16 L8192 wq")
+        run_prod(NORTHSTAR, kv_quant="int8", score_layout="wq",
+                 label="int8 L8192 wq")
+        run_prod(HEADLINE, score_layout="wq", label="bf16 L2048 wq")
+        run_prod(HEADLINE, label="bf16 L2048 qw (default)")
 
     if which in ("fx", "all"):
         # fast_exp (bf16 score-chain temps) HALVES the dominant VMEM term,

@@ -435,3 +435,71 @@ def test_bwd_selector_invariants(L):
         assert pLq2 % (bq * pack2) == 0
         # dkv bk must divide the dq pass's wide-tile padding
         assert (-(-L // min(2048, L))) * min(2048, L) % bk2 == 0
+
+
+@pytest.mark.parametrize("variant", ["plain", "dropout", "window",
+                                     "segments", "offset"])
+def test_backward_wq_score_layout_matches(rng, variant):
+    """The transposed [w, bq] score space (score_layout="wq") must produce
+    identical gradients to the default layout in every masking variant
+    (dropout masks are bit-identical by construction: same (row, col)
+    hash)."""
+    import jax.numpy as jnp
+    from tpu_flash.kernels.flash_attention import (
+        flash_attention_backward, flash_attention_forward)
+
+    B, H, L, d = 1, 2, 512, 32
+    Lq = 384 if variant == "offset" else L
+    q = jnp.asarray(rng.standard_normal((B, H, Lq, d)), jnp.float32)
+    k, v = (jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+            for _ in range(2))
+    do = jnp.asarray(rng.standard_normal((B, H, Lq, d)), jnp.float32)
+    kw = {}
+    if variant == "dropout":
+        kw = dict(dropout_rate=0.2, dropout_seed=7)
+    elif variant == "window":
+        kw = dict(window=130)
+    elif variant == "segments":
+        seg = jnp.asarray(
+            np.sort(rng.integers(0, 3, (B, L)), axis=-1), jnp.int32)
+        kw = dict(segment_ids=seg)
+    out, lse, _ = flash_attention_forward(
+        q, k, v, causal=True, block_q=64, block_k=128,
+        **{k_: v_ for k_, v_ in kw.items() if k_ != "window"},
+        **({"window": 130} if variant == "window" else {}))
+    base = flash_attention_backward(
+        q, k, v, out, lse, do, causal=True, block_q=64, block_k=128,
+        q_pack=2, **kw)
+    wq = flash_attention_backward(
+        q, k, v, out, lse, do, causal=True, block_q=64, block_k=128,
+        q_pack=2, score_layout="wq", **kw)
+    for a, b in zip(wq, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
+def test_backward_wq_quantized_matches(rng):
+    """wq layout with int8 KV codes + per-position scales."""
+    import jax.numpy as jnp
+    from tpu_flash.kernels.flash_attention import (
+        flash_attention_backward, flash_attention_forward)
+    from tpu_flash.ops.attention import _quantize_kv
+
+    B, H, L, d = 1, 2, 384, 32
+    q, k, v, do = (jnp.asarray(rng.standard_normal((B, H, L, d)),
+                               jnp.float32) for _ in range(4))
+    kq, ks = _quantize_kv(k, "int8")
+    vq, vs = _quantize_kv(v, "int8")
+    kq, vq = kq.transpose(0, 1, 3, 2), vq.transpose(0, 1, 3, 2)
+    out, lse, _ = flash_attention_forward(
+        q, kq, vq, ks, vs, causal=True, block_q=64, block_k=128,
+        kv_layout="dl")
+    base = flash_attention_backward(
+        q, kq, vq, out, lse, do, None, ks, vs, causal=True, block_q=64,
+        block_k=128, q_pack=2, kv_layout="dl")
+    wq = flash_attention_backward(
+        q, kq, vq, out, lse, do, None, ks, vs, causal=True, block_q=64,
+        block_k=128, q_pack=2, kv_layout="dl", score_layout="wq")
+    for a, b in zip(wq, base):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)

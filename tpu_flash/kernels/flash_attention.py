@@ -357,7 +357,8 @@ def _packed_schedule(num_groups, num_kv, *, block_q, block_k, causal,
 
 
 def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset,
-                padded_kv=True, window=None, qseg=None, kseg=None):
+                padded_kv=True, window=None, qseg=None, kseg=None,
+                transposed=False):
     """Causal / kv-boundary / sliding-window / segment mask on a base-2
     score tile.
 
@@ -379,11 +380,12 @@ def _apply_mask(s2, i, j, *, block_q, block_k, causal, kv_len, q_offset,
     rows <= q_offset + Lq - 1 = Lk - 1; padded Q rows are sliced off by the
     caller and padded Q rows in the backward contribute zero via dO = 0).
     """
-    cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, 1)
+    c_ax, r_ax = (0, 1) if transposed else (1, 0)
+    cols = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s2.shape, c_ax)
     keep = None
     if causal:
         rows = q_offset + i * block_q + jax.lax.broadcasted_iota(
-            jnp.int32, s2.shape, 0)
+            jnp.int32, s2.shape, r_ax)
         keep = cols <= rows
         if window is not None:
             keep &= cols > rows - window
@@ -469,10 +471,13 @@ def _global_bh(bh, n_heads, seed_ref):
 
 
 def _tile_keep_scale(i_tile, j_tile, shape, *, block_q, block_k, b, h, seed,
-                     rate, dtype=jnp.float32):
-    """keep/(1-rate) multiplier tile for (q tile, kv tile): 0 where dropped."""
-    rows = i_tile * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-    cols = j_tile * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                     rate, dtype=jnp.float32, transposed=False):
+    """keep/(1-rate) multiplier tile for (q tile, kv tile): 0 where dropped.
+    ``transposed``: the tile is [w, bq] (the backward's wq score layout) —
+    same hash per (row, col), so masks are bit-identical to the qw form."""
+    r_ax, c_ax = (1, 0) if transposed else (0, 1)
+    rows = i_tile * block_q + jax.lax.broadcasted_iota(jnp.int32, shape, r_ax)
+    cols = j_tile * block_k + jax.lax.broadcasted_iota(jnp.int32, shape, c_ax)
     keep = dropout_keep_mask(rows, cols, b, h, seed, rate)
     one = jnp.asarray(1.0 / (1.0 - rate), dtype)
     return jnp.where(keep, one, jnp.asarray(0.0, dtype))
@@ -947,13 +952,26 @@ def flash_attention_forward(
 
 def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
                kv_len, padded_kv, q_offset, window=None,
-               qseg=None, kseg=None, kscale=None, vscale=None):
+               qseg=None, kseg=None, kscale=None, vscale=None, wq=False):
     """First half of the backward recompute for one (q, kv) tile pair: the
     two leading MXU dots (masked base-2 scores ``s2`` and ``dp = dO Vᵀ``)
     — independent of the VPU exp/ds chain, so the packed fused kernel can
-    issue sub-tile h+1's dots before finishing sub-tile h."""
+    issue sub-tile h+1's dots before finishing sub-tile h.
+
+    ``wq=True``: TRANSPOSED score space — s2/dp come out [w, bq] instead
+    of [bq, w].  The three accumulation dots then contract the score
+    tiles on their LAST axis: the measured axis-0 (implicitly transposed)
+    contraction penalty (67 vs 81-88 TF/s, bench/exp_bw_residual probe)
+    moves from TWO dots (dV, dK) to ONE (dQ).  ``qseg`` must then be
+    [1, bq], ``kseg`` [w, 1], and the scales [w, 1]."""
     qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
-    if kscale is not None:
+    if wq:
+        if kscale is not None:
+            # d-major codes [d, w]: contract d (axis 0)
+            s2 = _dot(k, qs, ((0,), (1,))) * kscale      # [w, bq]
+        else:
+            s2 = _dot(k, qs, ((1,), (1,)))               # [w, bq]
+    elif kscale is not None:
         # quantized: k/v are d-major RAW code tiles [d, w]; the per-key
         # dequant scales fold into the scores / dp (hidden VPU side) —
         # see the forward kernel's layout comment.
@@ -964,8 +982,14 @@ def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
         s2 = _apply_mask(
             s2, i, j, block_q=block_q, block_k=block_k,
             causal=causal, kv_len=kv_len, q_offset=q_offset,
-            padded_kv=padded_kv, window=window, qseg=qseg, kseg=kseg)
-    if vscale is not None:
+            padded_kv=padded_kv, window=window, qseg=qseg, kseg=kseg,
+            transposed=wq)
+    if wq:
+        if vscale is not None:
+            dp = _dot(v, do, ((0,), (1,))) * vscale      # [w, bq]
+        else:
+            dp = _dot(v, do, ((1,), (1,)))               # [w, bq]
+    elif vscale is not None:
         dp = _dot(do, v, ((1,), (0,))) * vscale
     else:
         dp = _dot(do, v, ((1,), (1,)))
@@ -974,12 +998,15 @@ def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
 
 def _bwd_finish(s2, dp, lse, delta, i, j, *, block_q, block_k,
                 dropout_rate=0.0, b=None, h=None, seed=None,
-                fast_exp=False):
+                fast_exp=False, wq=False):
     """Second half: the VPU exp/dropout/ds chain.  Returns ``(p_dv, ds)``.
 
     Rows with ``lse = -inf`` (empty attention: no visible keys under the
     causal mask, see the forward epilogue) contribute exactly zero:
     ``exp2(s - inf) == 0`` guards what would otherwise be ``exp2(+inf)``.
+
+    ``wq=True``: s2/dp are [w, bq] and ``lse``/``delta`` arrive [1, bq]
+    (broadcast down the key axis instead of across it).
     """
     lse2 = jnp.where(jnp.isneginf(lse), jnp.inf, lse * LOG2E)
     # fast_exp (bf16 inputs): the whole p/ds tail runs on bf16 vectors —
@@ -987,13 +1014,13 @@ def _bwd_finish(s2, dp, lse, delta, i, j, *, block_q, block_k,
     # further cast.  Same error budget as the forward's fast path (the
     # operands were cast to bf16 for the dots before anyway).
     p_dtype = jnp.bfloat16 if fast_exp else jnp.float32
-    p = jnp.exp2((s2 - lse2).astype(p_dtype))       # [bq, bk]
+    p = jnp.exp2((s2 - lse2).astype(p_dtype))       # [bq, bk] ([w, bq] wq)
     if dropout_rate > 0.0:
         # The keep mask scales dp BEFORE the delta subtraction
         # (ds = p ∘ (dP̃ - delta) with dP̃ = (dO Vᵀ)∘M/(1-r)).
         keep_scale = _tile_keep_scale(
             i, j, s2.shape, block_q=block_q, block_k=block_k, b=b, h=h,
-            seed=seed, rate=dropout_rate)
+            seed=seed, rate=dropout_rate, transposed=wq)
         dp = dp * keep_scale
         p_dv = p * keep_scale.astype(p_dtype)
     else:
@@ -1123,7 +1150,7 @@ def _bwd_fused_kernel(
     dk_acc, dv_acc, dq_acc, dq_stage=None, dq_sem=None,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
     n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
-    q_pack, patterns,
+    q_pack, patterns, score_wq=False,
 ):
     """Single-pass backward: the packed KV-outer body with the dQ
     full-sequence accumulator enabled (``dq_stage``/``dq_sem`` present in
@@ -1137,7 +1164,8 @@ def _bwd_fused_kernel(
         kv_len=kv_len, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
         n_steps=n_steps, n_heads=n_heads, quantized=quantized,
         dropout_rate=dropout_rate, window=window, segmented=segmented,
-        fast_exp=fast_exp, q_pack=q_pack, patterns=patterns)
+        fast_exp=fast_exp, q_pack=q_pack, patterns=patterns,
+        score_wq=score_wq)
 
 
 def _bwd_kv_outer_body(
@@ -1148,7 +1176,7 @@ def _bwd_kv_outer_body(
     dk_acc, dv_acc, dq_acc, dq_stage=None, dq_sem=None,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
     n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
-    q_pack, patterns,
+    q_pack, patterns, score_wq=False,
 ):
     """Packed KV-outer backward body — dK/dV accumulate per KV tile; with
     ``dq_acc`` (the fused single-pass form) dQ additionally accumulates
@@ -1192,39 +1220,71 @@ def _bwd_kv_outer_body(
         if quantized:
             kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
             vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
-            kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
+            if score_wq:
+                kscale, vscale = ks_ref[0, :w], vs_ref[0, :w]   # [w, 1]
+            else:
+                kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
         else:
             kq, vq = k_ref[0, :w], v_ref[0, :w]             # [w, d]
             kscale = vscale = None
+        if segmented:
+            qseg = (qseg_ref[0, :, sel] if score_wq        # [1, bq]
+                    else qseg_ref[0, sel])                 # [bq, 1]
+            kseg = (kseg_ref[0, :w] if score_wq            # [w, 1]
+                    else kseg_ref[0][:, :w])               # [1, w]
+        else:
+            qseg = kseg = None
         s2, dp = _bwd_s2_dp(
             q_ref[0, sel], kq, vq, do_ref[0, sel],
             imap_ref[t] * q_pack + h, jmap_ref[t], scale=scale,
             causal=causal, block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, window=window,
-            qseg=qseg_ref[0, sel] if segmented else None,
-            kseg=kseg_ref[0][:, :w] if segmented else None,
-            kscale=kscale, vscale=vscale)
+            qseg=qseg, kseg=kseg, kscale=kscale, vscale=vscale,
+            wq=score_wq)
         return s2, dp, kq, kscale
 
     def finish(s2, dp, kq, kscale, h, w):
         """Sub-tile h's VPU chain + the three accumulation dots."""
         sel = pl.ds(h * block_q, block_q)
+        if score_wq:
+            lse, dl = lse_ref[0, :, sel], delta_ref[0, :, sel]   # [1, bq]
+        else:
+            lse, dl = lse_ref[0, sel], delta_ref[0, sel]         # [bq, 1]
         p, ds = _bwd_finish(
-            s2, dp, lse_ref[0, sel], delta_ref[0, sel],
+            s2, dp, lse, dl,
             imap_ref[t] * q_pack + h, jmap_ref[t], block_q=block_q,
             block_k=block_k, dropout_rate=dropout_rate, b=gb, h=gh,
-            seed=seed_ref[0], fast_exp=fast_exp)
+            seed=seed_ref[0], fast_exp=fast_exp, wq=score_wq)
         q, do = q_ref[0, sel], do_ref[0, sel]
-        dv_acc[0:w] += _dot(p.astype(do.dtype),
-                            _ones_col(do) if aug else do, ((0,), (0,)))
-        dk_acc[0:w] += _dot(ds.astype(q.dtype),
-                            _ones_col(q) if aug else q, ((0,), (0,)))
+        if score_wq:
+            # [w, bq] score tiles contract their LAST axis for dV/dK —
+            # the natural (unpenalized) MXU form; dQ takes the one
+            # remaining axis-0 contraction.
+            dv_acc[0:w] += _dot(p.astype(do.dtype),
+                                _ones_col(do) if aug else do, ((1,), (0,)))
+            dk_acc[0:w] += _dot(ds.astype(q.dtype),
+                                _ones_col(q) if aug else q, ((1,), (0,)))
+        else:
+            dv_acc[0:w] += _dot(p.astype(do.dtype),
+                                _ones_col(do) if aug else do, ((0,), (0,)))
+            dk_acc[0:w] += _dot(ds.astype(q.dtype),
+                                _ones_col(q) if aug else q, ((0,), (0,)))
         if dq_acc is None:
             return
         row0 = pl.multiple_of((imap_ref[t] * q_pack + h) * block_q, block_q)
         # dQ (dequant space) = (dS ∘ kscale) · codes^T; the augmented
         # ones ROW keeps the N=65 output geometry (column discarded).
-        if quantized:
+        if score_wq:
+            if quantized:
+                dsk = (ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+                kq_op = (jnp.concatenate(
+                    [kq, jnp.ones((1, kq.shape[1]), kq.dtype)], axis=0)
+                    if aug else kq)                 # [d(+1), w]
+                dq_upd = _dot(dsk, kq_op, ((0,), (1,)))      # [bq, d(+1)]
+            else:
+                dq_upd = _dot(ds.astype(kq.dtype),
+                              _ones_col(kq) if aug else kq, ((0,), (0,)))
+        elif quantized:
             dsk = (ds * kscale.astype(ds.dtype)).astype(kq.dtype)
             kq_op = (jnp.concatenate(
                 [kq, jnp.ones((1, kq.shape[1]), kq.dtype)], axis=0)
@@ -1508,7 +1568,7 @@ def select_bwd_dkv_config(Lq, Lk, d, *, block_q, block_k, causal, q_offset,
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
                      "dropout_rate", "window", "q_offset", "kv_layout",
-                     "fast_exp", "interpret"),
+                     "fast_exp", "score_layout", "interpret"),
 )
 def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -1529,6 +1589,7 @@ def flash_attention_backward(
     q_offset: int | None = None,
     kv_layout: str = "ld",
     fast_exp: bool | None = None,
+    score_layout: str | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention backward: returns (dq, dk, dv) for [B, H, L, d] inputs.
@@ -1628,10 +1689,22 @@ def flash_attention_backward(
     def kv_bh(bh):
         return (bh // H) * Hkv + (bh % H) // g
 
+    if score_layout not in (None, "qw", "wq"):
+        raise ValueError(f"score_layout must be None, 'qw' or 'wq', got "
+                         f"{score_layout!r}")
+    # wq (transposed [w, bq] score space) applies to the fused form only
+    score_wq = score_layout == "wq" and will_fuse
+
     qf = pad_to(q.reshape(B * H, Lq, d), 1, pLq)
     dof = pad_to(do.reshape(B * H, Lq, d), 1, pLq)
-    lsef = pad_to(lse.reshape(B * H, Lq, 1), 1, pLq)
-    deltaf = pad_to(delta.reshape(B * H, Lq, 1), 1, pLq)
+    if score_wq:
+        # per-query vectors ride as [*, 1, pLq] rows (broadcast down the
+        # key axis of the transposed score tiles)
+        lsef = pad_to(lse.reshape(B * H, 1, Lq), 2, pLq)
+        deltaf = pad_to(delta.reshape(B * H, 1, Lq), 2, pLq)
+    else:
+        lsef = pad_to(lse.reshape(B * H, Lq, 1), 1, pLq)
+        deltaf = pad_to(delta.reshape(B * H, Lq, 1), 1, pLq)
     if quantized:
         # d-major codes + scale rows — see the forward entry comment.
         if transposed_in:
@@ -1641,9 +1714,14 @@ def flash_attention_backward(
             vdl = v.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
         kf, vf = pad_to(kdl, 2, pLk), pad_to(vdl, 2, pLk)
         kv_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
-        ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-        vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        if score_wq:
+            ksf = pad_to(k_scale.reshape(B * Hkv, Lk, 1), 1, pLk, fill=1.0)
+            vsf = pad_to(v_scale.reshape(B * Hkv, Lk, 1), 1, pLk, fill=1.0)
+            scale_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
+        else:
+            ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+            vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+            scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
     else:
         kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
         vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
@@ -1663,10 +1741,16 @@ def flash_attention_backward(
         if Lq != Lk:
             raise ValueError("segment_ids requires Lq == Lk (packed training)")
         seg = segment_ids.astype(jnp.int32)
-        qsegf = pad_to(seg[:, :, None], 1, pLq, fill=-1)
-        ksegf = pad_to(seg[:, None, :], 2, pLk, fill=-1)
-        qseg_index = lambda b, t, im, jm, *r: (b // H, im[t], 0)
-        kseg_index = lambda b, t, im, jm, *r: (b // H, 0, jm[t])
+        if score_wq:
+            qsegf = pad_to(seg[:, None, :], 2, pLq, fill=-1)
+            ksegf = pad_to(seg[:, :, None], 1, pLk, fill=-1)
+            qseg_index = lambda b, t, im, jm, *r: (b // H, 0, im[t])
+            kseg_index = lambda b, t, im, jm, *r: (b // H, jm[t], 0)
+        else:
+            qsegf = pad_to(seg[:, :, None], 1, pLq, fill=-1)
+            ksegf = pad_to(seg[:, None, :], 2, pLk, fill=-1)
+            qseg_index = lambda b, t, im, jm, *r: (b // H, im[t], 0)
+            kseg_index = lambda b, t, im, jm, *r: (b // H, 0, jm[t])
     else:
         qsegf = ksegf = qseg_index = kseg_index = None
 
@@ -1685,8 +1769,11 @@ def flash_attention_backward(
     # wrapper reinserts None refs for the kernel signatures.  Q-side blocks
     # are GROUP-sized (``im`` is in group units); the index maps are in
     # block units so the same maps serve any (qrows, bk) combination.
-    def _in_specs(qrows, bk):
+    def _in_specs(qrows, bk, wq=False):
         kv_blk = (1, d, bk) if quantized else (1, bk, d)
+        row_blk = (1, 1, qrows) if wq else (1, qrows, 1)
+        row_idx = (lambda b, t, im, jm, *r: (b, 0, im[t])) if wq else \
+                  (lambda b, t, im, jm, *r: (b, im[t], 0))
         specs = [
             pl.BlockSpec((1, qrows, d),
                          lambda b, t, im, jm, *r: (b, im[t], 0)),
@@ -1694,23 +1781,24 @@ def flash_attention_backward(
             pl.BlockSpec(kv_blk, kv_index),
         ]
         if quantized:
-            specs += [pl.BlockSpec((1, 1, bk), scale_index)] * 2
+            scale_blk = (1, bk, 1) if wq else (1, 1, bk)
+            specs += [pl.BlockSpec(scale_blk, scale_index)] * 2
         if segmented:
+            kseg_blk = (1, bk, 1) if wq else (1, 1, bk)
+            qseg_blk = (1, 1, qrows) if wq else (1, qrows, 1)
             specs += [
-                pl.BlockSpec((1, qrows, 1), qseg_index),
-                pl.BlockSpec((1, 1, bk), kseg_index),
+                pl.BlockSpec(qseg_blk, qseg_index),
+                pl.BlockSpec(kseg_blk, kseg_index),
             ]
         specs += [
             pl.BlockSpec((1, qrows, d),
                          lambda b, t, im, jm, *r: (b, im[t], 0)),
-            pl.BlockSpec((1, qrows, 1),
-                         lambda b, t, im, jm, *r: (b, im[t], 0)),
-            pl.BlockSpec((1, qrows, 1),
-                         lambda b, t, im, jm, *r: (b, im[t], 0)),
+            pl.BlockSpec(row_blk, row_idx),
+            pl.BlockSpec(row_blk, row_idx),
         ]
         return specs
 
-    common_in_specs = _in_specs(group_q, block_k)
+    common_in_specs = _in_specs(group_q, block_k, wq=score_wq)
     common_operands = [qf, kf, vf]
     if quantized:
         common_operands += [ksf, vsf]
@@ -1752,6 +1840,7 @@ def flash_attention_backward(
             n_steps=len(gmap), n_heads=H, quantized=quantized,
             dropout_rate=dropout_rate, window=window, segmented=segmented,
             fast_exp=fast_exp, q_pack=q_pack, patterns=gpatterns,
+            score_wq=score_wq,
         )
         dpad = round_up(d, 128)     # DMA lane alignment (see epilogue)
         dq_out_spec = (
