@@ -1444,6 +1444,13 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
         num_q_tiles = round_up(Lq, bq) // bq
         if q_pack is not None:
             pack_candidates = [max(1, min(q_pack, num_q_tiles))]
+        elif itemsize >= 4 and d >= 128:
+            # fp32 d=128 packed fused measured 8.85 ms vs the round-2
+            # unpacked form's 5.18 at L=2048 (bench/exp_fp32_configs
+            # 2026-08-20) — HIGHEST-precision operand splits at the wide
+            # head spill; d=64 fp32 packing measured a 17% WIN (L=1024
+            # 1.576 -> 1.311 ms), so only the wide-head fp32 case unpacks.
+            pack_candidates = [1]
         else:
             pack_candidates = [p for p in (8, 4, 2, 1) if p <= num_q_tiles]
         for pack in pack_candidates:
