@@ -1378,7 +1378,8 @@ _FUSED_VMEM_CAP_FP32 = int(9.5 * 1024 * 1024)
 
 
 def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
-                            q_offset, itemsize, q_pack=None, window=None):
+                            q_offset, itemsize, q_pack=None, window=None,
+                            wq_cols=0):
     """Joint (block_q, q_pack, block_k) choice for the fused single-pass
     backward.
 
@@ -1432,7 +1433,12 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
                 + pLq_ * dwf * 4            # full-sequence dq scratch
                 + dq_out
                 + 4 * bk * d * itemsize     # double-buffered K/V tiles
-                + 4 * pack * bq * d * itemsize)  # dbl-buf Q/dO groups
+                + 4 * pack * bq * d * itemsize   # dbl-buf Q/dO groups
+                # wq score layout: per-key column operands ([bk, 1]
+                # scale/segment blocks) pad to 128 lanes in VMEM — an
+                # observed ~3x-buffered 0.5M/block cost at bk=1024 that
+                # OOM'd the int8-wq L=8192 form (16.16M vs the 16M limit)
+                + wq_cols * 3 * bk * 128 * 4)
 
     # fp32 boundary observed between 8.9M (compiles) and 11.8M (OOMs);
     # bf16 between 12.1M (compiles) and 13.4M (OOMs) — see the module caps.
@@ -1463,7 +1469,7 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
             # L=16384 hbm config allocated 16.1-16.8M on-chip regardless
             # of tile sizes (an unmodeled ~pLq-scaled allocation), while
             # L=8192 hbm forms compile and run.  bf16-only, pLq<=8192.
-            hbm_ok = itemsize == 2 and pLq_p <= 8192
+            hbm_ok = itemsize == 2 and pLq_p <= 8192 and wq_cols == 0
             hbm_opts = (False, True) if hbm_ok else (False,)
             for hbm in hbm_opts:
                 # the hbm model carries its own calibrated overhead terms,
@@ -1659,10 +1665,14 @@ def flash_attention_backward(
         q_offset = Lk - Lq
 
     ib = jnp.dtype(q.dtype).itemsize
+    _wq_req = score_layout == "wq"
+    _wq_cols = ((2 if quantized else 0) + (1 if segment_ids is not None
+                                           else 0)) if _wq_req else 0
     will_fuse, block_q, q_pack, bk_sel, pLq, dq_hbm = \
         select_bwd_fused_config(
             Lq, Lk, d, block_q=block_q, block_k=block_k, causal=causal,
-            q_offset=q_offset, itemsize=ib, q_pack=q_pack, window=window)
+            q_offset=q_offset, itemsize=ib, q_pack=q_pack, window=window,
+            wq_cols=_wq_cols)
     if will_fuse:
         # the clamped tile only applies to the fused single-pass form; the
         # two-pass kernels have no full-sequence terms and keep the wide
