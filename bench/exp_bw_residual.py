@@ -475,7 +475,22 @@ def main():
         run_prod(NORTHSTAR, kv_quant="int8", score_layout="wq",
                  label="int8 L8192 wq")
         run_prod(HEADLINE, score_layout="wq", label="bf16 L2048 wq")
-        run_prod(HEADLINE, label="bf16 L2048 qw (default)")
+        run_prod(HEADLINE, score_layout="qw", label="bf16 L2048 qw")
+        # int8-wq at the WIDE tile (the selector's wq-column model clamps
+        # to bk=512; force pack=4/bk=1024 — modeled 164K over the soft
+        # cap, expected ~15.6M actual after the q/do halving)
+        import tpu_flash.kernels.flash_attention as fa_mod
+        orig_sel = fa_mod.select_bwd_fused_config
+        try:
+            fa_mod.select_bwd_fused_config = \
+                lambda *a, **k: (True, 256, 4, 1024, 8192, False)
+            run_prod(NORTHSTAR, kv_quant="int8", score_layout="wq",
+                     q_pack=4, label="int8 L8192 wq 4x256x1024 (forced)")
+        except Exception as e:
+            print(f"  forced int8-wq-1024: FAILED "
+                  f"({type(e).__name__}: {str(e)[:100]})", flush=True)
+        finally:
+            fa_mod.select_bwd_fused_config = orig_sel
 
     if which in ("fx", "all"):
         # fast_exp (bf16 score-chain temps) HALVES the dominant VMEM term,

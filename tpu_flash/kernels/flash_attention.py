@@ -1665,6 +1665,15 @@ def flash_attention_backward(
         q_offset = Lk - Lq
 
     ib = jnp.dtype(q.dtype).itemsize
+    if score_layout is None:
+        # Measured auto rule (bench/exp_bw_residual wqx, 2026-08-20): the
+        # transposed score space wins for unquantized bf16 (L=2048 bw
+        # 0.731 -> 0.649 ms, L=8192 2.13 -> 1.95-2.03) but loses for
+        # quantized KV (the [bk, 1] scale columns' lane padding forces a
+        # narrower KV tile: int8 2.15 qw vs 2.24 wq) and is unmeasured
+        # for fp32 — wq only for plain bf16.
+        score_layout = ("wq" if ib == 2 and not quantized
+                        and segment_ids is None else "qw")
     _wq_req = score_layout == "wq"
     _wq_cols = ((2 if quantized else 0) + (1 if segment_ids is not None
                                            else 0)) if _wq_req else 0
