@@ -1221,7 +1221,10 @@ def _bwd_kv_outer_body(
             kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
             vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
             if score_wq:
-                kscale, vscale = ks_ref[0, :w], vs_ref[0, :w]   # [w, 1]
+                # [1, w] rows -> [w, 1] columns (4KB in-kernel transpose;
+                # the column OPERAND layout would pad to 128 lanes)
+                kscale = jnp.transpose(ks_ref[0][:, :w])
+                vscale = jnp.transpose(vs_ref[0][:, :w])
             else:
                 kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
         else:
@@ -1675,8 +1678,7 @@ def flash_attention_backward(
         score_layout = ("wq" if ib == 2 and not quantized
                         and segment_ids is None else "qw")
     _wq_req = score_layout == "wq"
-    _wq_cols = ((2 if quantized else 0) + (1 if segment_ids is not None
-                                           else 0)) if _wq_req else 0
+    _wq_cols = (1 if (_wq_req and segment_ids is not None) else 0)
     will_fuse, block_q, q_pack, bk_sel, pLq, dq_hbm = \
         select_bwd_fused_config(
             Lq, Lk, d, block_q=block_q, block_k=block_k, causal=causal,
@@ -1740,14 +1742,13 @@ def flash_attention_backward(
             vdl = v.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
         kf, vf = pad_to(kdl, 2, pLk), pad_to(vdl, 2, pLk)
         kv_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
-        if score_wq:
-            ksf = pad_to(k_scale.reshape(B * Hkv, Lk, 1), 1, pLk, fill=1.0)
-            vsf = pad_to(v_scale.reshape(B * Hkv, Lk, 1), 1, pLk, fill=1.0)
-            scale_index = lambda b, t, im, jm, *r: (kv_bh(b), jm[t], 0)
-        else:
-            ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-            vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-            scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        # scales keep the [1, bk] ROW layout in both score layouts: a
+        # [bk, 1] column block pads to 128 lanes in VMEM (~0.5M/buffer at
+        # bk=1024 — what first OOM'd int8-wq); the wq kernel transposes
+        # the 4KB row in-kernel instead.
+        ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+        vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
     else:
         kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
         vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
@@ -1807,8 +1808,7 @@ def flash_attention_backward(
             pl.BlockSpec(kv_blk, kv_index),
         ]
         if quantized:
-            scale_blk = (1, bk, 1) if wq else (1, 1, bk)
-            specs += [pl.BlockSpec(scale_blk, scale_index)] * 2
+            specs += [pl.BlockSpec((1, 1, bk), scale_index)] * 2
         if segmented:
             kseg_blk = (1, bk, 1) if wq else (1, 1, bk)
             qseg_blk = (1, 1, qrows) if wq else (1, qrows, 1)
