@@ -461,16 +461,16 @@ def main():
         # L=16k/32k: the HBM-dq fused unlock (two-pass baselines: 11.73 /
         # 45.0 ms, RESULTS.md round-2 long-context table)
         L16 = dict(B=1, H=8, L=16384, d=64)
-        run_prod(L16, label="bf16 L16384 auto (fused-hbm)")
+        run_prod(L16, label="bf16 L16384 auto")
         L32 = dict(B=1, H=8, L=32768, d=64)
-        run_prod(L32, label="bf16 L32768 auto (fused-hbm)")
+        run_prod(L32, label="bf16 L32768 auto")
 
     if which in ("wqx", "all"):
         # transposed [w, bq] score space: moves the measured axis-0
         # contraction penalty from two accumulation dots to one
         # (bench probe: P^TdO 67.2 -> 80.6 TF/s at w=1024)
         print("== wq (transposed) score layout ==", flush=True)
-        run_prod(NORTHSTAR, label="bf16 L8192 qw (default)")
+        run_prod(NORTHSTAR, label="bf16 L8192 auto (wq default)")
         run_prod(NORTHSTAR, score_layout="wq", label="bf16 L8192 wq")
         run_prod(NORTHSTAR, kv_quant="int8", score_layout="wq",
                  label="int8 L8192 wq")
