@@ -98,6 +98,8 @@ def main():
         q8, k8, v8, name="fa2_fwbw_8k_int8", flops=flops8)
     point8 = roofline(int8_8k.mean_ms, flops8,
                       attention_bytes(B8, H, L8, d, fwd_and_bwd=True))
+    point8_bf16 = roofline(bf16_8k.mean_ms, flops8,
+                           attention_bytes(B8, H, L8, d, fwd_and_bwd=True))
 
     print(json.dumps({
         "metric": "fa2_fwbw_causal_bf16_L2048_tflops",
@@ -111,6 +113,8 @@ def main():
         "roofline_frac": round(point.fraction, 3),
         "int8kv_L8k_tflops": round(int8_8k.tflops, 2),
         "int8kv_L8k_roofline_frac": round(point8.fraction, 3),
+        "bf16_L8k_tflops": round(bf16_8k.tflops, 2),
+        "bf16_L8k_roofline_frac": round(point8_bf16.fraction, 3),
         "int8kv_vs_bf16_L8k": round(bf16_8k.mean_ms / int8_8k.mean_ms, 3),
         "roofline_ceiling": point.ceiling.name,
     }))
