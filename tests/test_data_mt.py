@@ -158,3 +158,36 @@ def test_local_deen_corpus():
     sample = data["train"][0]
     assert sample["de"] != sample["en"]
     assert sample["de"].strip() and sample["en"].strip()
+
+
+def test_compositional_split_holds_out_combinations():
+    """The quality-sensitive split (VERDICT r4 #5): every val/test pair
+    instantiates a (subject x verb [x place/object]) combination key that
+    NEVER occurs in training — zero leakage — while the lexical items
+    themselves all still occur in training in other combinations."""
+    from tpu_flash.data import mt
+    from tpu_flash.data.deen_corpus import (
+        build_pairs_keyed, compositional_split)
+
+    keyed = build_pairs_keyed()
+    key_of = {(d, e): k for d, e, k in keyed}
+    ds = compositional_split()
+    assert len(ds["train"]) > 2000
+    assert len(ds["validation"]) >= 250 and len(ds["test"]) >= 200
+    train_keys = {key_of[(ex["de"], ex["en"])] for ex in ds["train"]}
+    eval_keys = {key_of[(ex["de"], ex["en"])]
+                 for ex in ds["validation"] + ds["test"]}
+    assert None not in eval_keys        # hand pairs stay in train
+    assert not train_keys & eval_keys   # combination-level holdout
+    # lexical coverage: eval vocabulary is (almost entirely) seen in train
+    train_vocab = {w for ex in ds["train"]
+                   for w in (ex["de"] + " " + ex["en"]).lower().split()}
+    eval_vocab = {w for ex in ds["validation"] + ds["test"]
+                  for w in (ex["de"] + " " + ex["en"]).lower().split()}
+    unseen = eval_vocab - train_vocab
+    assert len(unseen) / len(eval_vocab) < 0.02, sorted(unseen)[:20]
+    # deterministic and reachable through the standard loader
+    ds2 = compositional_split()
+    assert ds["validation"][0] == ds2["validation"][0]
+    data, _, _ = mt.get_dataset("local-comp", 40)
+    assert len(data["test"]) == 100     # reference protocol cap

@@ -196,6 +196,51 @@ def test_engine_speculative_near_capacity_matches_plain_engine():
     assert got == ref, (got, ref)
 
 
+def test_engine_speculative_acceptance_guard():
+    """The acceptance-aware guard (VERDICT r4 #4): probation measures both
+    modes, records a decision with the measured rates + acceptance, and —
+    because greedy speculative decoding is output-invariant — the
+    completions are identical to the plain engine REGARDLESS of which mode
+    wins the timing race."""
+    model, params = make_model()
+    draft, dparams = make_draft()
+    samp = SamplingConfig(max_new_tokens=20)
+    prompts = {u: [2 + u, 3, 4 + u] for u in range(1, 7)}
+
+    plain = DecodeEngine(model, params, n_slots=2, max_len=64,
+                         sampling=samp)
+    spec = DecodeEngine(model, params, n_slots=2, max_len=64,
+                        sampling=samp, draft_model=draft,
+                        draft_params=dparams, n_draft=3)
+    for uid, p in prompts.items():
+        plain.submit(Request(uid, p))
+        spec.submit(Request(uid, p))
+    ref = {c.uid: (c.tokens, c.finished_reason) for c in plain.run()}
+    got = {c.uid: (c.tokens, c.finished_reason)
+           for c in spec.run_speculative(probe_rounds=2)}
+    assert got == ref, (got, ref)
+    # probation completed and recorded an honest decision
+    d = spec.spec_decision
+    assert d is not None
+    assert d["mode"] in ("speculative", "plain")
+    assert d["spec_tps"] > 0 and d["plain_tps"] > 0
+    assert 0.0 <= d["acceptance"] <= 1.0
+    st = spec._spec_stats
+    assert st["spec_timed"] >= 2 and st["plain_timed"] >= 2
+    assert st["proposed"] >= st["emitted"] - st["rounds"]  # +1 bonus/round
+
+    # guard disabled: pure speculative, still identical output
+    spec2 = DecodeEngine(model, params, n_slots=2, max_len=64,
+                         sampling=samp, draft_model=draft,
+                         draft_params=dparams, n_draft=3)
+    for uid, p in prompts.items():
+        spec2.submit(Request(uid, p))
+    got2 = {c.uid: (c.tokens, c.finished_reason)
+            for c in spec2.run_speculative(probe_rounds=None)}
+    assert got2 == ref
+    assert spec2.spec_decision is None
+
+
 def test_engine_speculative_rejects_bad_n_draft():
     model, params = make_model()
     import pytest

@@ -266,6 +266,117 @@ def test_fp8_kv_attention_fwd_bwd(rng):
                                    atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.parametrize("mode", ["int8_channel", "fp8_channel"])
+def test_channel_kv_attention_fwd_bwd(rng, mode):
+    """Per-CHANNEL KV scales (the scale-free "free dequant" kernel form,
+    VERDICT r4 #1): the public kv_quant path must match flash attention on
+    the explicitly channel-dequantized K/V — forward, dq, dk, dv — and the
+    saved residuals must be codes with [B, H, d] scales."""
+    import jax.numpy as jnp
+    from tpu_flash.ops.attention import (
+        _flash_attention_quantkv_fwd, _quantize_kv, dequantize_kv,
+        flash_attention)
+
+    B, H, L, d = 1, 2, 192, 32      # unaligned L exercises padded tiles
+    q, k, v = (jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+               for _ in range(3))
+    w = jnp.asarray(rng.standard_normal((B, H, L, d)), jnp.float32)
+
+    kc, ks = _quantize_kv(k, mode)
+    vc, vs = _quantize_kv(v, mode)
+    assert ks.shape == (B, H, d) and vs.shape == (B, H, d)
+    k_dq = dequantize_kv(kc, ks, mode).astype(jnp.float32)
+    v_dq = dequantize_kv(vc, vs, mode).astype(jnp.float32)
+
+    out_q = flash_attention(q, k, v, causal=True, kv_quant=mode,
+                            impl="pallas")
+    ref = flash_attention(q, k_dq, v_dq, causal=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+    # within quantization noise of the unquantized path (channel scales
+    # are coarser than token scales: looser band than the token test)
+    full = flash_attention(q, k, v, causal=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(full),
+                               atol=0.15, rtol=0.15)
+
+    _, res = _flash_attention_quantkv_fwd(q, k, v, 0, None, True, 0.0,
+                                          mode, None)
+    want = jnp.int8 if mode.startswith("int8") else jnp.float8_e4m3fn
+    assert res[1].dtype == want and res[3].dtype == want
+    assert res[2].shape == (B, H, d)    # channel scales ride the residuals
+
+    gq = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=True, kv_quant=mode,
+                        impl="pallas") * w), (0, 1, 2))(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        flash_attention(q, k, v, causal=True, impl="pallas") * w),
+        (0, 1, 2))(q, k_dq, v_dq)
+    for a, b in zip(gq, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("variant", ["dropout", "gqa", "bf16", "window",
+                                     "wq", "twopass"])
+def test_channel_kv_variants(rng, variant, monkeypatch):
+    """The channel-scale form through every backward path: fused qw
+    (default), explicit wq score space, the two-pass fallback, dropout's
+    regenerated mask, native GQA, and bf16 inputs — each pinned against
+    flash attention on the channel-dequantized K/V with identical
+    arguments (the dropout hash masks are bit-identical by construction,
+    so the oracle sees the same kept entries)."""
+    import jax.numpy as jnp
+    from tpu_flash.kernels import flash_attention as fa
+    from tpu_flash.ops.attention import _quantize_kv, dequantize_kv
+
+    B, H, L, d = 1, 4, 256, 32
+    Hkv = 2 if variant == "gqa" else H
+    dtype = jnp.bfloat16 if variant == "bf16" else jnp.float32
+    q, do = (jnp.asarray(rng.standard_normal((B, H, L, d)), dtype)
+             for _ in range(2))
+    k, v = (jnp.asarray(rng.standard_normal((B, Hkv, L, d)), dtype)
+            for _ in range(2))
+    drop = 0.25 if variant == "dropout" else 0.0
+    window = 96 if variant == "window" else None
+    score_layout = "wq" if variant == "wq" else None
+
+    kc, ks = _quantize_kv(k, "int8_channel")
+    vc, vs = _quantize_kv(v, "int8_channel")
+    k_dq = dequantize_kv(kc, ks, "int8_channel").astype(dtype)
+    v_dq = dequantize_kv(vc, vs, "int8_channel").astype(dtype)
+    kcT, vcT = kc.transpose(0, 1, 3, 2), vc.transpose(0, 1, 3, 2)
+
+    kw = dict(causal=True, dropout_rate=drop, dropout_seed=7, window=window)
+    out_q, lse_q, _ = fa.flash_attention_forward(
+        q, kcT, vcT, ks, vs, kv_layout="dl", kv_scale_mode="channel", **kw)
+    out_r, lse_r, _ = fa.flash_attention_forward(q, k_dq, v_dq, **kw)
+    tol = dict(atol=2e-2, rtol=2e-2) if dtype == jnp.bfloat16 \
+        else dict(atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_q, np.float32),
+                               np.asarray(out_r, np.float32), **tol)
+    # bf16: the kernel folds ks into q THEN rounds to bf16, the oracle
+    # rounds the dequantized k — lse differs at bf16 score precision
+    lse_tol = dict(atol=2e-2, rtol=2e-2) if dtype == jnp.bfloat16 \
+        else dict(atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(lse_q), np.asarray(lse_r),
+                               **lse_tol)
+
+    raw = fa.flash_attention_backward.__wrapped__
+    if variant == "twopass":
+        monkeypatch.setattr(fa, "_FUSED_VMEM_CAP_BF16", 1)
+        monkeypatch.setattr(fa, "_FUSED_VMEM_CAP_FP32", 1)
+    grads_q = raw(q, kcT, vcT, out_q, lse_q, do, None, ks, vs,
+                  kv_layout="dl", kv_scale_mode="channel",
+                  score_layout=score_layout, interpret=True, **kw)
+    grads_r = raw(q, k_dq, v_dq, out_r, lse_r, do, None, None, None,
+                  score_layout=score_layout, interpret=True, **kw)
+    gtol = dict(atol=5e-2, rtol=5e-2) if dtype == jnp.bfloat16 \
+        else dict(atol=2e-4, rtol=1e-3)
+    for a, b in zip(grads_q, grads_r):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), **gtol)
+
+
 def test_q_offset_override_matches_shifted_causal(rng):
     """q_offset=k (static override) must equal attention where query row r
     attends keys <= r + k — the banded form windowed ring chunks use."""
@@ -427,14 +538,21 @@ def test_bwd_selector_invariants(L):
         assert pLq % (bq * pack) == 0
         assert pLq >= L
         assert bq * pack <= pLq
+        req = min(2048, L)
         if fused:
-            assert (-(-L // bk)) * bk % bk == 0
+            # selected KV tile: the requested tile or a repeated halving
+            # of it (so it always divides the request), never wider, and
+            # the padded KV extent covers the sequence
+            assert 0 < bk <= req and req % bk == 0
+            assert (-(-L // bk)) * bk >= L
         pack2, bk2, pLq2 = select_bwd_dkv_config(
-            L, L, 64, block_q=bq, block_k=min(2048, L), causal=True,
+            L, L, 64, block_q=bq, block_k=req, causal=True,
             q_offset=0, itemsize=itemsize)
         assert pLq2 % (bq * pack2) == 0
-        # dkv bk must divide the dq pass's wide-tile padding
-        assert (-(-L // min(2048, L))) * min(2048, L) % bk2 == 0
+        # dkv bk: the requested tile or a halving of it, and it must
+        # divide the dq pass's wide-tile KV padding
+        assert 0 < bk2 <= req and req % bk2 == 0
+        assert (-(-L // req)) * req % bk2 == 0
 
 
 @pytest.mark.parametrize("variant", ["plain", "dropout", "window",

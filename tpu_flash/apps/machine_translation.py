@@ -351,11 +351,14 @@ def main(argv=None):
                    help="KV-cache quantization for BLEU generation "
                         "(BASELINE config 4: MT with FP8 KV)")
     p.add_argument("--kv-quant-train", default="none",
-                   choices=("none", "int8", "fp8"),
+                   choices=("none", "int8", "fp8",
+                            "int8_channel", "fp8_channel"),
                    help="quantized-KV TRAINING attention: K/V quantized "
-                        "per-position, forward and backward both run on "
-                        "the codes (DecoderConfig.kv_quant; BASELINE "
-                        "measured config 4 training leg)")
+                        "per-position (int8/fp8) or per-channel "
+                        "(*_channel — the scale-free kernel form), "
+                        "forward and backward both run on the codes "
+                        "(DecoderConfig.kv_quant; BASELINE measured "
+                        "config 4 training leg)")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ background packing loader")
     p.add_argument("--chunked-loss", type=int, default=0, metavar="N",

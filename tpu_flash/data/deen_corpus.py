@@ -382,31 +382,43 @@ def _cap(s: str) -> str:
     return s[0].upper() + s[1:]
 
 
-def build_pairs() -> list[tuple[str, str]]:
-    """Compose the full corpus deterministically; returns (de, en) pairs."""
+def build_pairs_keyed() -> list[tuple[str, str, str | None]]:
+    """Compose the full corpus deterministically; returns (de, en, key)
+    triples where ``key`` names the (subject x verb [x place/object
+    family]) COMBINATION a pair instantiates.  The compositional split
+    (VERDICT r4 #5) holds out entire combination keys: every lexical item
+    still appears in training in other combinations, but the held-out
+    pairs require composing conjugation/word order for combinations never
+    seen — a quality-sensitive eval, unlike the random split where
+    val/test are near-duplicates of train and BLEU saturates at ~98.8 for
+    every model (runs/mt_deen*/metrics.jsonl)."""
     pairs = []
 
     # 1) transitive SVO: present (habitual + punctual) and perfect/past
     for s_de, s_en, p in SUBJECTS:
-        for de_forms, part, en, en3, en_past, objs in VERBS_T.values():
+        for vname, (de_forms, part, en, en3, en_past,
+                    objs) in VERBS_T.items():
+            key = f"svo:{s_de}|{vname}"
             for okey in objs:
                 o_de, o_en = OBJECTS[okey]
                 en_v = en3 if p == "3s" else en
                 pairs.append((f"{_cap(s_de)} {de_forms[p]} {o_de}.",
-                              f"{_cap(s_en)} {en_v} {o_en}."))
+                              f"{_cap(s_en)} {en_v} {o_en}.", key))
                 # perfect tense <-> English simple past
                 pairs.append(
                     (f"{_cap(s_de)} "
                      f"{'hat' if p == '3s' else dict(zip(_PERSONS, ['habe', 'hast', 'hat', 'haben', 'habt', 'haben']))[p]} "
                      f"{o_de} {part}.",
-                     f"{_cap(s_en)} {en_past} {o_en}."))
+                     f"{_cap(s_en)} {en_past} {o_en}.", key))
 
     # 2) motion with adverbs: V2 German, aspect-correct English
     sein = dict(zip(_PERSONS, ["bin", "bist", "ist", "sind", "seid", "sind"]))
     be = dict(zip(_PERSONS, ["am", "are", "is", "are", "are", "are"]))
     for s_de, s_en, p in SUBJECTS[:10]:
-        for de_forms, part, en, en3, en_past, en_ing in VERBS_M.values():
+        for vname, (de_forms, part, en, en3, en_past,
+                    en_ing) in VERBS_M.items():
             for pl_de, pl_en in PLACES:
+                key = f"mot:{s_de}|{vname}|{pl_de}"
                 for a_de, a_en, habitual in ADVERBS:
                     if habitual is True:
                         en_v = en3 if p == "3s" else en
@@ -417,46 +429,55 @@ def build_pairs() -> list[tuple[str, str]]:
                                 f"{_cap(s_en)} {a_en} {en_v} {pl_en}.")
                         pairs.append(
                             (f"{_cap(s_de)} {de_forms[p]} {a_de} {pl_de}.",
-                             en_s))
+                             en_s, key))
                     elif habitual is False:
                         pairs.append(
                             (f"{_cap(s_de)} {de_forms[p]} {a_de} {pl_de}.",
                              f"{_cap(s_en)} {be[p]} {en_ing} {pl_en} "
-                             f"{a_en}."))
+                             f"{a_en}.", key))
                     else:  # gestern -> perfect with 'sein' <-> simple past
                         pairs.append(
                             (f"{_cap(s_de)} {sein[p]} {a_de} {pl_de} "
                              f"{part}.",
-                             f"{_cap(s_en)} {en_past} {pl_en} {a_en}."))
+                             f"{_cap(s_en)} {en_past} {pl_en} {a_en}.",
+                             key))
 
     # 3) copula + adjective (semantically compatible), present and past
     for s_de, s_en, plural, adj_keys in COPULA_SUBJECTS:
         for akey in adj_keys:
             a_de, a_en = ADJECTIVES[akey]
+            key = f"cop:{s_de}|{akey}"
             ist, war = ("sind", "waren") if plural else ("ist", "war")
             is_, was = ("are", "were") if plural else ("is", "was")
             pairs.append((f"{_cap(s_de)} {ist} {a_de}.",
-                          f"{_cap(s_en)} {is_} {a_en}."))
+                          f"{_cap(s_en)} {is_} {a_en}.", key))
             pairs.append((f"{_cap(s_de)} {war} sehr {a_de}.",
-                          f"{_cap(s_en)} {was} very {a_en}."))
+                          f"{_cap(s_en)} {was} very {a_en}.", key))
 
     # 4) modal + infinitive (German infinitive-final word order)
     for s_de, s_en, p in SUBJECTS:
-        for de_forms, en, en3 in MODALS.values():
+        for vname, (de_forms, en, en3) in MODALS.items():
             for inf_de, inf_en in INFINITIVES:
+                key = f"mod:{s_de}|{vname}|{inf_de}"
                 en_m = en3 if p == "3s" else en
                 pairs.append((f"{_cap(s_de)} {de_forms[p]} {inf_de}.",
-                              f"{_cap(s_en)} {en_m} {inf_en}."))
+                              f"{_cap(s_en)} {en_m} {inf_en}.", key))
 
-    pairs.extend((_cap(d), _cap(e)) for d, e in HAND_PAIRS)
-    # dedupe preserving order (identical surface pairs can arise from the
-    # two 'sie'/'you' person collisions)
+    # hand-written pairs carry no combination key: always train
+    pairs.extend((_cap(d), _cap(e), None) for d, e in HAND_PAIRS)
+    # dedupe on surface forms preserving order (identical surface pairs
+    # can arise from the two 'sie'/'you' person collisions)
     seen, out = set(), []
-    for pr in pairs:
-        if pr not in seen:
-            seen.add(pr)
-            out.append(pr)
+    for de, en, key in pairs:
+        if (de, en) not in seen:
+            seen.add((de, en))
+            out.append((de, en, key))
     return out
+
+
+def build_pairs() -> list[tuple[str, str]]:
+    """Compose the full corpus deterministically; returns (de, en) pairs."""
+    return [(de, en) for de, en, _ in build_pairs_keyed()]
 
 
 def write_corpus(path: str = CORPUS_PATH) -> int:
@@ -468,6 +489,40 @@ def write_corpus(path: str = CORPUS_PATH) -> int:
             de, en = pairs[i]
             f.write(f"{de}\t{en}\n")
     return len(pairs)
+
+
+def compositional_split(n_validation: int = 300, n_test: int = 250,
+                        holdout_frac: float = 0.16, seed: int = 1):
+    """Quality-SENSITIVE eval split (VERDICT r4 #5): hold out entire
+    (subject x verb [x place/object]) combination keys — val/test pairs
+    instantiate combinations that NEVER appear in training (every lexical
+    item does appear, in other combinations), so the model must compose
+    conjugation, articles and V2/infinitive-final word order for unseen
+    combinations.  Val BLEU lands mid-range instead of the random split's
+    saturated ~98.8-for-every-model, giving the kv-quant three-way table a
+    metric that could actually catch a quality regression.
+
+    Pairs whose held-out key supplies more eval examples than needed are
+    DROPPED, never returned to train (that would leak the combination).
+    """
+    keyed = build_pairs_keyed()
+    keys = sorted({k for _, _, k in keyed if k is not None})
+    rng = np.random.default_rng(seed)
+    order = rng.permutation(len(keys))
+    held = {keys[i] for i in order[:max(1, int(len(keys) * holdout_frac))]}
+    train = [{"de": de, "en": en}
+             for de, en, k in keyed if k is None or k not in held]
+    eval_pairs = [{"de": de, "en": en}
+                  for de, en, k in keyed if k is not None and k in held]
+    eval_idx = rng.permutation(len(eval_pairs))
+    val_idx = eval_idx[:n_validation]
+    test_idx = eval_idx[n_validation:n_validation + n_test]
+    train_idx = rng.permutation(len(train))
+    return {
+        "train": [train[i] for i in train_idx],
+        "validation": [eval_pairs[i] for i in val_idx],
+        "test": [eval_pairs[i] for i in test_idx],
+    }
 
 
 def load_dataset(path: str = CORPUS_PATH,

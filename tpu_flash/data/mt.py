@@ -97,12 +97,16 @@ def get_dataset(
 
     ``dataset_name="local"`` (or ``"deen"``) loads the checked-in REAL
     German-English corpus (data/deen_corpus.py) — no network needed, BLEU
-    on real text.
+    on real text.  ``"local-comp"`` uses its COMPOSITIONAL split instead
+    (held-out subject x verb combinations — the quality-sensitive eval,
+    deen_corpus.compositional_split).
     """
-    if dataset_name in ("local", "deen", "local-deen"):
-        from tpu_flash.data.deen_corpus import load_dataset as _load_deen
+    if dataset_name in ("local", "deen", "local-deen", "local-comp"):
+        from tpu_flash.data.deen_corpus import (
+            compositional_split, load_dataset as _load_deen)
 
-        dataset = _load_deen()
+        dataset = (compositional_split() if dataset_name == "local-comp"
+                   else _load_deen())
         dataset = {
             split: [ex for ex in dataset[split]
                     if len(ex[SRC_KEY].split()) + len(ex[TGT_KEY].split())

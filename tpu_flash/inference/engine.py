@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Callable
 
 import jax
@@ -138,6 +139,15 @@ class DecodeEngine:
                 draft_model, n_slots, max_len, quant=draft_kv_quant,
                 compute_dtype=draft_model.cfg.dtype)
             self._spec_step = {}  # round width W -> jitted fn
+        # acceptance-aware guard bookkeeping (run_speculative probation,
+        # VERDICT r4 #4): wall-timed samples of both modes, compile calls
+        # excluded, plus raw acceptance counters for observability.
+        self._spec_stats = dict(rounds=0, proposed=0, emitted=0,
+                                spec_timed=0, spec_s=0.0, spec_tok=0,
+                                plain_timed=0, plain_s=0.0, plain_tok=0)
+        self._spec_compiled: set[int] = set()   # W values already compiled
+        self._plain_compiled = False
+        self.spec_decision: dict | None = None
 
     # ------------------------------------------------------------------ API
     def set_prefix(self, prefix) -> None:
@@ -382,10 +392,18 @@ class DecodeEngine:
         if not active_mask.any():
             return
         self.key, sub = jax.random.split(self.key)
+        t0 = time.perf_counter()
         nxt, self.caches = self._decode_step(
             self.params, self.caches, self.last_tokens,
             jnp.asarray(active_mask), sub)
-        nxt_host = np.asarray(nxt)
+        nxt_host = np.asarray(nxt)      # host sync closes the timed span
+        if self._plain_compiled:
+            st = self._spec_stats
+            st["plain_timed"] += 1
+            st["plain_s"] += time.perf_counter() - t0
+            st["plain_tok"] += int(active_mask.sum())
+        else:
+            self._plain_compiled = True     # first call paid the compile
         for slot in range(self.n_slots):
             self.slot_len[slot] += 1    # every slot's cache appended one
             if active_mask[slot]:
@@ -510,13 +528,27 @@ class DecodeEngine:
             self._spec_step[W] = jax.jit(functools.partial(
                 self._spec_step_impl, n_draft=W))
         self.key, sub = jax.random.split(self.key)
+        t0 = time.perf_counter()
         emitted, n_valid, self.caches, self.draft_caches, last = \
             self._spec_step[W](self.params, self.draft_params, self.caches,
                                self.draft_caches, self.last_tokens,
                                jnp.asarray(active_mask), sub)
         self.last_tokens = last
         emitted_host = np.asarray(emitted)
-        n_valid_host = np.asarray(n_valid)
+        n_valid_host = np.asarray(n_valid)  # host sync closes timed span
+        dt = time.perf_counter() - t0
+        st = self._spec_stats
+        n_active = int(active_mask.sum())
+        n_emitted = int(n_valid_host[active_mask].sum())
+        st["rounds"] += 1
+        st["proposed"] += W * n_active
+        st["emitted"] += n_emitted
+        if W in self._spec_compiled:
+            st["spec_timed"] += 1
+            st["spec_s"] += dt
+            st["spec_tok"] += n_emitted
+        else:
+            self._spec_compiled.add(W)      # first call paid the compile
         for slot in range(self.n_slots):
             if not active_mask[slot]:
                 continue
@@ -528,10 +560,53 @@ class DecodeEngine:
                 self._host_emit(slot, int(emitted_host[slot, j]),
                                 base + j + 1, update_last=False)
 
-    def run_speculative(self) -> list[Completion]:
-        """Drain the queue with speculative rounds."""
+    def run_speculative(
+            self, probe_rounds: int | None = 8) -> list[Completion]:
+        """Drain the queue with speculative rounds, under an
+        ACCEPTANCE-AWARE guard (VERDICT r4 #4).
+
+        Greedy speculative decoding is output-invariant — verification
+        emits exactly the tokens the target model alone would — so the
+        engine can measure both modes on the live stream without changing
+        any completion.  Probation alternates wall-timed speculative
+        rounds and plain decode steps (each mode's first call, the
+        compile, is excluded); once both sides hold ``probe_rounds``
+        timed samples it compares measured tokens/second and commits to
+        the winner for the rest of the drain.  The decision (with the
+        measured rates and raw acceptance fraction) is recorded in
+        ``self.spec_decision``.  A random/poorly-matched draft therefore
+        costs ~probe_rounds slow rounds, not the whole run — the
+        auto-fallback the round-4 serving table lacked (its speculative
+        row measured pure overhead end-to-end, bench/RESULTS.md r4).
+
+        ``probe_rounds=None`` disables the guard (always speculative).
+        """
+        if self.draft_model is None:
+            raise ValueError("engine was built without a draft_model")
         while self.has_work():
             self.admit()
-            self.step_speculative()
+            st = self._spec_stats
+            if probe_rounds is not None and self.spec_decision is None:
+                if (st["spec_timed"] >= probe_rounds
+                        and st["plain_timed"] >= probe_rounds):
+                    spec_tps = st["spec_tok"] / max(st["spec_s"], 1e-12)
+                    plain_tps = st["plain_tok"] / max(st["plain_s"], 1e-12)
+                    self.spec_decision = dict(
+                        mode=("speculative" if spec_tps >= plain_tps
+                              else "plain"),
+                        spec_tps=spec_tps, plain_tps=plain_tps,
+                        acceptance=st["emitted"] / max(st["proposed"], 1))
+                else:
+                    # probation: alternate timed samples of each mode
+                    if st["spec_timed"] <= st["plain_timed"]:
+                        self.step_speculative()
+                    else:
+                        self.step()
+                    continue
+            if (self.spec_decision is None
+                    or self.spec_decision["mode"] == "speculative"):
+                self.step_speculative()
+            else:
+                self.step()
         out, self.completions = self.completions, []
         return out

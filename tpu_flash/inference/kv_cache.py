@@ -29,6 +29,9 @@ from typing import Literal
 import jax
 import jax.numpy as jnp
 
+# once-per-process guard for the fp8-is-slower advisory (ADVICE r4)
+_FP8_WARNED = False
+
 QuantMode = Literal["none", "int8", "fp8"]
 
 _INT8_MAX = 127.0
@@ -97,8 +100,6 @@ class KVCache:
             store_dtype = jnp.int8
             scales = jnp.zeros((batch, n_head, max_len), jnp.float32)
         elif quant == "fp8":
-            import warnings
-
             # Measured recommendation (bench/bench_decode_model.py,
             # 2026-08-20, post tile-halving fix): fp8 decodes at 5.60
             # ms/step vs int8's 4.19 and bf16's 4.59 at the production
@@ -106,12 +107,19 @@ class KVCache:
             # than the int8 cast and there is no BLEU gap between the two
             # (RESULTS.md).  fp8 remains supported for cache-size parity
             # experiments; int8 is the speed choice at the same footprint.
-            warnings.warn(
-                "fp8 KV-cache decode is measured SLOWER than int8 at the "
-                "same memory footprint (5.60 vs 4.19 ms/step at the "
-                "production config) with no quality gap — prefer "
-                "quant='int8' unless comparing formats",
-                stacklevel=2)
+            # Emitted ONCE per process (ADVICE r4: a per-construction
+            # warning was noisy and broke warnings-as-errors configs that
+            # legitimately compare formats).
+            global _FP8_WARNED
+            if not _FP8_WARNED:
+                _FP8_WARNED = True
+                import warnings
+                warnings.warn(
+                    "fp8 KV-cache decode is measured SLOWER than int8 at "
+                    "the same memory footprint (5.60 vs 4.19 ms/step at "
+                    "the production config) with no quality gap — prefer "
+                    "quant='int8' unless comparing formats",
+                    stacklevel=2)
             store_dtype = jnp.float8_e4m3fn
             scales = jnp.zeros((batch, n_head, max_len), jnp.float32)
         else:

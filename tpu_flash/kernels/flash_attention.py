@@ -432,6 +432,14 @@ def _ones_col(x):
         [x, jnp.ones((x.shape[0], 1), x.dtype)], axis=1)
 
 
+def _ones_row(x):
+    """d-major twin of :func:`_ones_col`: append a ones ROW to a [d, bk]
+    tile so a ((1,), (1,)) contraction against it emits the same N=65
+    output geometry (and the forward's folded softmax-sum column)."""
+    return jnp.concatenate(
+        [x, jnp.ones((1, x.shape[1]), x.dtype)], axis=0)
+
+
 def dropout_keep_mask(rows, cols, b, h, seed, rate):
     """Deterministic attention-dropout keep mask from a counter-based hash.
 
@@ -494,8 +502,8 @@ def _fwd_kernel(
     o_ref, lse_ref, m_out_ref,        # outputs
     acc_ref, m_ref, l_ref,            # VMEM scratch (l_ref only if not fold_l)
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d,
-    n_heads, quantized, q_pack, dropout_rate, window, segmented, fast_exp,
-    patterns,
+    n_heads, quantized, scaled, q_pack, dropout_rate, window, segmented,
+    fast_exp, patterns,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)   # hoisted: program_id inside pl.when bodies is
@@ -529,12 +537,22 @@ def _fwd_kernel(
         # form streamed 64-BYTE rows, which is where the round-1 int8
         # overhead lived — bench/exp_int8_layout.py).  The critical path
         # between DMA arrival and the MXU is ONE int8->bf16 convert; the
-        # per-position scales fold onto the already-hidden VPU side
-        # (scores x kscale, p x vscale) instead of dequantizing operands.
+        # per-position scales (``scaled``: per-token granularity) fold
+        # onto the already-hidden VPU side (scores x kscale, p x vscale)
+        # instead of dequantizing operands.  Per-CHANNEL granularity
+        # (``not scaled``) has NO scale work in the kernel at all: the
+        # entry folds K's [d] scale into Q before the call and V's into
+        # the output epilogue, so this body is the unquantized body plus
+        # one cast per tile — the "free dequant" form (VERDICT r4 #1).
         kt = cast_codes(k_ref[0], q_ref.dtype)      # [d, bk] codes
         vt = cast_codes(v_ref[0], q_ref.dtype)      # [d, bk] codes
-        kscale = ks_ref[0]                          # [1, bk] fp32
-        vscale = vs_ref[0]                          # [1, bk] fp32
+        if scaled:
+            kscale = ks_ref[0]                      # [1, bk] fp32
+            vscale = vs_ref[0]                      # [1, bk] fp32
+        else:
+            # scale-free codes: the ones ROW (softmax-sum accumulator)
+            # can ride the PV dot again, exactly like the fp path
+            v_aug = _ones_row(vt) if fold_l else vt  # [d(+1), bk]
     else:
         kt = k_ref[0]                               # [bk, d]
         vt = v_ref[0]                               # [bk, d]
@@ -551,7 +569,10 @@ def _fwd_kernel(
             q_ref.dtype)                            # [bq, d]
         if quantized:
             s2 = _dot(q, kt[:, :w], ((1,), (0,)))   # [bq, w] code-space
-            s2 = s2 * kscale[:, :w]                 # per-key dequant scale
+            if scaled:
+                s2 = s2 * kscale[:, :w]             # per-key dequant scale
+            # channel granularity: K's scale is already inside q (entry
+            # fold) — s2 IS the dequant-space score.
         else:
             s2 = _dot(q, kt[:w], ((1,), (1,)))      # [bq, w]
         if causal or padded_kv or segmented:
@@ -585,10 +606,15 @@ def _fwd_kernel(
                 seed=seed_ref[0], rate=dropout_rate, dtype=p.dtype)
         else:
             p_v = p
-        if quantized:
+        if quantized and scaled:
             # vscale folds into p (hidden VPU side); codes feed the MXU raw
             pb = (p_v * vscale[:, :w].astype(p_v.dtype)).astype(vt.dtype)
             pv = _dot(pb, vt[:, :w], ((1,), (1,)))  # [bq, d] fp32
+        elif quantized:
+            # channel granularity: raw code-space PV dot (V's scale is
+            # applied by the entry's output epilogue); the ones row rides.
+            pb = p_v.astype(vt.dtype)
+            pv = _dot(pb, v_aug[:, :w], ((1,), (1,)))   # [bq, d(+1)] fp32
         else:
             pb = p_v.astype(v_aug.dtype)
             # fold_l: ones column — rowsum(p) rides the same MXU pass.
@@ -661,7 +687,7 @@ def _fwd_kernel(
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
                      "dropout_rate", "window", "q_offset", "kv_layout",
-                     "fast_exp", "with_m", "interpret"),
+                     "kv_scale_mode", "fast_exp", "with_m", "interpret"),
 )
 def flash_attention_forward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -679,6 +705,7 @@ def flash_attention_forward(
     segment_ids: jax.Array | None = None,
     q_offset: int | None = None,
     kv_layout: str = "ld",
+    kv_scale_mode: str = "token",
     fast_exp: bool | None = None,
     with_m: bool = False,
     interpret: bool | None = None,
@@ -705,15 +732,27 @@ def flash_attention_forward(
     window are never visited (no grid step, no DMA), so compute and HBM
     traffic are O(L·window) instead of O(L²/2).
 
-    ``k``/``v`` may be int8 (or fp8) codes with per-position fp32 scales
-    ``k_scale``/``v_scale`` of shape [B, H, Lk] — the quantized-KV training
-    form: codes stream from HBM at half (bf16) bandwidth, the kernel casts
-    them once and folds the scales into the scores / softmax probabilities
-    (the hidden VPU side — see the kernel comments).  The kernel consumes
-    codes d-MAJOR ([B, H, d, Lk], full int8 tiles + long DMA rows); pass
-    ``kv_layout="dl"`` if they are already transposed (the custom-vjp
-    training path does this once for both fw and bw), otherwise the default
-    ``"ld"`` ([B, H, Lk, d], same as unquantized) is transposed here.
+    ``k``/``v`` may be int8 (or fp8) codes with fp32 dequant scales — the
+    quantized-KV training form: codes stream from HBM at half (bf16)
+    bandwidth.  Two scale granularities (``kv_scale_mode``):
+
+      * ``"token"``: scales [B, H, Lk] (one per key position).  The kernel
+        casts codes once and folds the scales into the scores / softmax
+        probabilities (the hidden VPU side — see the kernel comments).
+      * ``"channel"``: scales [B, H, d] (one per head channel, amax over
+        the sequence).  K's scale folds into Q BEFORE the kernel and V's
+        folds into the output AFTER it — both plain XLA elementwise ops
+        fused into the operand reshapes — so the kernel runs the
+        unquantized body plus one code cast per tile, with zero per-tile
+        scale work and the folded-l ones column restored ("free dequant",
+        VERDICT r4 #1; quantization-error trade-off adjudicated by the MT
+        kv-quant table, bench/RESULTS.md).
+
+    The kernel consumes codes d-MAJOR ([B, H, d, Lk], full int8 tiles +
+    long DMA rows); pass ``kv_layout="dl"`` if they are already transposed
+    (the custom-vjp training path does this once for both fw and bw),
+    otherwise the default ``"ld"`` ([B, H, Lk, d], same as unquantized) is
+    transposed here.
 
     ``dropout_rate``/``dropout_seed``: in-kernel attention dropout on the
     softmax probabilities (keep prob 1-rate, kept entries scaled by
@@ -743,6 +782,10 @@ def flash_attention_forward(
                          f"heads ({Hkv})")
     g = H // Hkv                 # GQA group size (1 = MHA)
     quantized = k_scale is not None
+    if kv_scale_mode not in ("token", "channel"):
+        raise ValueError(f"kv_scale_mode must be 'token' or 'channel', "
+                         f"got {kv_scale_mode!r}")
+    scaled = quantized and kv_scale_mode == "token"
     if kv_layout not in ("ld", "dl"):
         raise ValueError(f"kv_layout must be 'ld' or 'dl', got {kv_layout!r}")
     transposed_in = quantized and kv_layout == "dl"
@@ -754,6 +797,13 @@ def flash_attention_forward(
     segmented = segment_ids is not None
     if segmented and Lq != Lk:
         raise ValueError("segment_ids requires Lq == Lk (packed training)")
+    if quantized and not scaled:
+        # Channel granularity: fold K's per-(head, d) scale into Q here
+        # (one XLA elementwise, fused into the operand reshape below) so
+        # the kernel sees scale-free codes.  GQA: each query head takes
+        # its KV head's scale.
+        ksb = jnp.repeat(k_scale, g, axis=1) if g > 1 else k_scale
+        q = (q.astype(jnp.float32) * ksb[:, :, None, :]).astype(q.dtype)
 
     block_q = min(block_q, round_up(Lq, 8))
     block_k = min(block_k, round_up(Lk, 8))
@@ -797,10 +847,15 @@ def flash_attention_forward(
         kf, vf = pad_to(kdl, 2, pLk), pad_to(vdl, 2, pLk)
         kv_block = (1, d, block_k)
         kv_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
-        ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-        vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-        scale_block = (1, 1, block_k)
-        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        if scaled:
+            ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+            vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+            scale_block = (1, 1, block_k)
+            scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        else:
+            # channel mode: no scale operands enter the kernel at all
+            ksf = vsf = None
+            scale_block = scale_index = None
     else:
         kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
         vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
@@ -828,10 +883,11 @@ def flash_attention_forward(
         num_groups, num_kv, block_q=block_q, block_k=block_k, causal=causal,
         q_offset=q_offset, kv_len=Lk, q_pack=q_pack, window=window)
     # Under dropout the softmax normalizer must sum the UNDROPPED p, so it
-    # cannot ride the P·V ones column; under quantized KV the PV operand is
-    # raw codes (scales folded into p), so an exact ones column cannot ride
-    # either — l falls back to the (hidden-VPU) rowsum.
-    fold_l = _fold_l(d) and dropout_rate == 0.0 and not quantized
+    # cannot ride the P·V ones column; under per-TOKEN-scaled KV the PV
+    # operand is raw codes with scales folded into p, so an exact ones
+    # column cannot ride either — l falls back to the (hidden-VPU) rowsum.
+    # Channel-scaled codes are scale-free in-kernel, so the column rides.
+    fold_l = _fold_l(d) and dropout_rate == 0.0 and not scaled
     seed_arr = jnp.atleast_1d(jnp.asarray(dropout_seed, jnp.int32))
     if seed_arr.shape[0] < 3:
         # [seed, batch_offset, head_offset] — offsets are nonzero only when
@@ -855,9 +911,9 @@ def flash_attention_forward(
         _fwd_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, n_heads=H,
-        quantized=quantized, q_pack=q_pack, dropout_rate=dropout_rate,
-        window=window, segmented=segmented, fast_exp=fast_exp,
-        patterns=patterns,
+        quantized=quantized, scaled=scaled, q_pack=q_pack,
+        dropout_rate=dropout_rate, window=window, segmented=segmented,
+        fast_exp=fast_exp, patterns=patterns,
     )
     # Specs and operands are built CONDITIONALLY: dummy scale/segment
     # blocks still cost per-grid-step pipeline bookkeeping on the scalar
@@ -870,7 +926,7 @@ def flash_attention_forward(
         pl.BlockSpec(kv_block, kv_index),
     ]
     operands = [qf, kf, vf]
-    if quantized:
+    if scaled:
         in_specs += [pl.BlockSpec(scale_block, scale_index),
                      pl.BlockSpec(scale_block, scale_index)]
         operands += [ksf, vsf]
@@ -905,7 +961,7 @@ def flash_attention_forward(
         q_r, k_r, v_r = rest[:3]
         i = 3
         ks_r = vs_r = qs_r = ks2_r = None
-        if quantized:
+        if scaled:
             ks_r, vs_r = rest[i:i + 2]
             i += 2
         if segmented:
@@ -939,6 +995,12 @@ def flash_attention_forward(
 
     out, lse = results[0], results[1]
     out = out[:, :Lq].reshape(B, H, Lq, d)
+    if quantized and not scaled:
+        # Channel granularity: V's per-(head, d) scale applies once to the
+        # normalized output — exact, since a per-d scale commutes with the
+        # row softmax normalization (and empty rows stay exactly 0).
+        vsb = jnp.repeat(v_scale, g, axis=1) if g > 1 else v_scale
+        out = (out.astype(jnp.float32) * vsb[:, :, None, :]).astype(q.dtype)
     lse = lse[:, :Lq, 0].reshape(B, H, Lq)
     if not with_m:
         return out, lse, None
@@ -952,7 +1014,8 @@ def flash_attention_forward(
 
 def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
                kv_len, padded_kv, q_offset, window=None,
-               qseg=None, kseg=None, kscale=None, vscale=None, wq=False):
+               qseg=None, kseg=None, kscale=None, vscale=None, wq=False,
+               dl=False):
     """First half of the backward recompute for one (q, kv) tile pair: the
     two leading MXU dots (masked base-2 scores ``s2`` and ``dp = dO Vᵀ``)
     — independent of the VPU exp/ds chain, so the packed fused kernel can
@@ -963,12 +1026,18 @@ def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
     tiles on their LAST axis: the measured axis-0 (implicitly transposed)
     contraction penalty (67 vs 81-88 TF/s, bench/exp_bw_residual probe)
     moves from TWO dots (dV, dK) to ONE (dQ).  ``qseg`` must then be
-    [1, bq], ``kseg`` [w, 1], and the scales [w, 1]."""
+    [1, bq], ``kseg`` [w, 1], and the scales [w, 1].
+
+    ``dl=True``: k/v are d-major [d, w] code tiles WITHOUT per-key scales
+    (channel-granularity quantization — the scales were folded into
+    q/do by the entry, so the dots run raw and scale-free)."""
     qs = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
     if wq:
         if kscale is not None:
             # d-major codes [d, w]: contract d (axis 0)
             s2 = _dot(k, qs, ((0,), (1,))) * kscale      # [w, bq]
+        elif dl:
+            s2 = _dot(k, qs, ((0,), (1,)))               # [w, bq]
         else:
             s2 = _dot(k, qs, ((1,), (1,)))               # [w, bq]
     elif kscale is not None:
@@ -976,6 +1045,8 @@ def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
         # dequant scales fold into the scores / dp (hidden VPU side) —
         # see the forward kernel's layout comment.
         s2 = _dot(qs, k, ((1,), (0,))) * kscale
+    elif dl:
+        s2 = _dot(qs, k, ((1,), (0,)))
     else:
         s2 = _dot(qs, k, ((1,), (1,)))
     if causal or padded_kv or qseg is not None:
@@ -987,10 +1058,14 @@ def _bwd_s2_dp(q, k, v, do, i, j, *, scale, causal, block_q, block_k,
     if wq:
         if vscale is not None:
             dp = _dot(v, do, ((0,), (1,))) * vscale      # [w, bq]
+        elif dl:
+            dp = _dot(v, do, ((0,), (1,)))               # [w, bq]
         else:
             dp = _dot(v, do, ((1,), (1,)))               # [w, bq]
     elif vscale is not None:
         dp = _dot(do, v, ((1,), (0,))) * vscale
+    elif dl:
+        dp = _dot(do, v, ((1,), (0,)))
     else:
         dp = _dot(do, v, ((1,), (1,)))
     return s2, dp
@@ -1033,7 +1108,7 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
               block_k, kv_len, padded_kv, q_offset, d,
               dropout_rate=0.0, b=None, h=None, seed=None, window=None,
               qseg=None, kseg=None, fast_exp=False,
-              kscale=None, vscale=None):
+              kscale=None, vscale=None, dl=False):
     """Shared backward recompute for one (q, kv) tile pair: returns
     ``(p_dv, ds)`` — used identically by the fused, dK/dV and dQ kernels so
     the three cannot drift apart (the fused kernel calls the two halves
@@ -1050,7 +1125,7 @@ def _bwd_p_ds(q, k, v, do, lse, delta, i, j, *, scale, causal, block_q,
         q, k, v, do, i, j, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, kv_len=kv_len, padded_kv=padded_kv,
         q_offset=q_offset, window=window, qseg=qseg, kseg=kseg,
-        kscale=kscale, vscale=vscale)
+        kscale=kscale, vscale=vscale, dl=dl)
     return _bwd_finish(
         s2, dp, lse, delta, i, j, block_q=block_q, block_k=block_k,
         dropout_rate=dropout_rate, b=b, h=h, seed=seed, fast_exp=fast_exp)
@@ -1063,7 +1138,7 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref,
     dk_acc, dv_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_heads, quantized, dropout_rate, window, segmented, fast_exp,
+    n_heads, quantized, scaled, dropout_rate, window, segmented, fast_exp,
     q_pack, patterns,
 ):
     """dK/dV pass of the two-pass backward (engages when the fused form's
@@ -1076,7 +1151,7 @@ def _bwd_dkv_kernel(
         dk_ref, dv_ref, None, dk_acc, dv_acc, None,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=kv_len, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        n_steps=0, n_heads=n_heads, quantized=quantized,
+        n_steps=0, n_heads=n_heads, quantized=quantized, scaled=scaled,
         dropout_rate=dropout_rate, window=window, segmented=segmented,
         fast_exp=fast_exp, q_pack=q_pack, patterns=patterns)
 
@@ -1088,7 +1163,8 @@ def _bwd_dq_kernel(
     dq_ref,
     dq_acc,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_heads, quantized, dropout_rate, window, segmented, fast_exp, widths,
+    n_heads, quantized, scaled, dropout_rate, window, segmented, fast_exp,
+    widths,
 ):
     t = pl.program_id(1)
     bh = pl.program_id(0)
@@ -1104,7 +1180,10 @@ def _bwd_dq_kernel(
         if quantized:
             kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
             vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
-            kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
+            if scaled:
+                kscale, vscale = ks_ref[0][:, :w], vs_ref[0][:, :w]
+            else:
+                kscale = vscale = None      # channel: entry-folded
         else:
             kq, vq = k_ref[0, :w], v_ref[0, :w]         # [w, d]
             kscale = vscale = None
@@ -1117,12 +1196,16 @@ def _bwd_dq_kernel(
             seed=seed_ref[0], window=window,
             qseg=qseg_ref[0] if segmented else None,
             kseg=kseg_ref[0][:, :w] if segmented else None,
-            fast_exp=fast_exp, kscale=kscale, vscale=vscale)
+            fast_exp=fast_exp, kscale=kscale, vscale=vscale,
+            dl=quantized and not scaled)
         # dQ += dS K  (tau applied once at the end)
         # dQ (dequant space) = (dS ∘ kscale) · codes^T; the augmented
         # ones ROW keeps the N=65 output geometry (column discarded).
+        # Channel granularity: plain code-space dS·codes^T (the entry
+        # multiplies the dq OUTPUT by K's [d] scale).
         if quantized:
-            dsk = (ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+            dsk = ((ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+                   if scaled else ds.astype(kq.dtype))
             kq_op = (jnp.concatenate(
                 [kq, jnp.ones((1, kq.shape[1]), kq.dtype)], axis=0)
                 if aug else kq)                     # [d(+1), w]
@@ -1149,8 +1232,8 @@ def _bwd_fused_kernel(
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc, dq_stage=None, dq_sem=None,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
-    q_pack, patterns, score_wq=False,
+    n_steps, n_heads, quantized, scaled, dropout_rate, window, segmented,
+    fast_exp, q_pack, patterns, score_wq=False,
 ):
     """Single-pass backward: the packed KV-outer body with the dQ
     full-sequence accumulator enabled (``dq_stage``/``dq_sem`` present in
@@ -1163,9 +1246,9 @@ def _bwd_fused_kernel(
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=kv_len, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
         n_steps=n_steps, n_heads=n_heads, quantized=quantized,
-        dropout_rate=dropout_rate, window=window, segmented=segmented,
-        fast_exp=fast_exp, q_pack=q_pack, patterns=patterns,
-        score_wq=score_wq)
+        scaled=scaled, dropout_rate=dropout_rate, window=window,
+        segmented=segmented, fast_exp=fast_exp, q_pack=q_pack,
+        patterns=patterns, score_wq=score_wq)
 
 
 def _bwd_kv_outer_body(
@@ -1175,8 +1258,8 @@ def _bwd_kv_outer_body(
     dk_ref, dv_ref, dq_ref,
     dk_acc, dv_acc, dq_acc, dq_stage=None, dq_sem=None,
     *, scale, causal, block_q, block_k, kv_len, padded_kv, q_offset, d, aug,
-    n_steps, n_heads, quantized, dropout_rate, window, segmented, fast_exp,
-    q_pack, patterns, score_wq=False,
+    n_steps, n_heads, quantized, scaled, dropout_rate, window, segmented,
+    fast_exp, q_pack, patterns, score_wq=False,
 ):
     """Packed KV-outer backward body — dK/dV accumulate per KV tile; with
     ``dq_acc`` (the fused single-pass form) dQ additionally accumulates
@@ -1220,7 +1303,9 @@ def _bwd_kv_outer_body(
         if quantized:
             kq = cast_codes(k_ref[0][:, :w], q_ref.dtype)   # [d, w] codes
             vq = cast_codes(v_ref[0][:, :w], q_ref.dtype)
-            if score_wq:
+            if not scaled:
+                kscale = vscale = None      # channel: entry-folded scales
+            elif score_wq:
                 # [1, w] rows -> [w, 1] columns (4KB in-kernel transpose;
                 # the column OPERAND layout would pad to 128 lanes)
                 kscale = jnp.transpose(ks_ref[0][:, :w])
@@ -1243,7 +1328,7 @@ def _bwd_kv_outer_body(
             causal=causal, block_q=block_q, block_k=block_k, kv_len=kv_len,
             padded_kv=padded_kv, q_offset=q_offset, window=window,
             qseg=qseg, kseg=kseg, kscale=kscale, vscale=vscale,
-            wq=score_wq)
+            wq=score_wq, dl=quantized and not scaled)
         return s2, dp, kq, kscale
 
     def finish(s2, dp, kq, kscale, h, w):
@@ -1277,9 +1362,12 @@ def _bwd_kv_outer_body(
         row0 = pl.multiple_of((imap_ref[t] * q_pack + h) * block_q, block_q)
         # dQ (dequant space) = (dS ∘ kscale) · codes^T; the augmented
         # ones ROW keeps the N=65 output geometry (column discarded).
+        # Channel granularity: code-space dS · codes^T raw (the entry
+        # multiplies the dq OUTPUT by K's [d] scale — kscale is None).
         if score_wq:
             if quantized:
-                dsk = (ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+                dsk = ((ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+                       if scaled else ds.astype(kq.dtype))
                 kq_op = (jnp.concatenate(
                     [kq, jnp.ones((1, kq.shape[1]), kq.dtype)], axis=0)
                     if aug else kq)                 # [d(+1), w]
@@ -1288,7 +1376,8 @@ def _bwd_kv_outer_body(
                 dq_upd = _dot(ds.astype(kq.dtype),
                               _ones_col(kq) if aug else kq, ((0,), (0,)))
         elif quantized:
-            dsk = (ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+            dsk = ((ds * kscale.astype(ds.dtype)).astype(kq.dtype)
+                   if scaled else ds.astype(kq.dtype))
             kq_op = (jnp.concatenate(
                 [kq, jnp.ones((1, kq.shape[1]), kq.dtype)], axis=0)
                 if aug else kq)                     # [d(+1), w]
@@ -1495,6 +1584,17 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
                 if best is None or key < best[0]:
                     best = (key, bq, pack, bk_p, pLq_p, hbm)
     if best is None:
+        if q_pack is not None and q_pack > 1:
+            # Sweep mode asked for a specific pack but no fused config
+            # fits the footprint model: surface the fallback so a sweep
+            # cannot silently record the unpacked two-pass time as
+            # "q_pack=N" (ADVICE r4).
+            import warnings
+            warnings.warn(
+                f"requested q_pack={q_pack} has no fused config under the "
+                f"VMEM footprint model (Lq={Lq}, Lk={Lk}, d={d}, "
+                f"itemsize={itemsize}); falling back to the UNPACKED "
+                f"two-pass form", stacklevel=3)
         bq = block_q or DEFAULT_BLOCK_Q_BWD
         bq = min(bq, round_up(Lq, 8))
         return False, bq, 1, block_k, round_up(Lq, bq), False
@@ -1584,7 +1684,8 @@ def select_bwd_dkv_config(Lq, Lk, d, *, block_q, block_k, causal, q_offset,
     jax.jit,
     static_argnames=("causal", "scale", "block_q", "block_k", "q_pack",
                      "dropout_rate", "window", "q_offset", "kv_layout",
-                     "fast_exp", "score_layout", "interpret"),
+                     "kv_scale_mode", "fast_exp", "score_layout",
+                     "interpret"),
 )
 def flash_attention_backward(
     q: jax.Array, k: jax.Array, v: jax.Array,
@@ -1604,11 +1705,18 @@ def flash_attention_backward(
     segment_ids: jax.Array | None = None,
     q_offset: int | None = None,
     kv_layout: str = "ld",
+    kv_scale_mode: str = "token",
     fast_exp: bool | None = None,
     score_layout: str | None = None,
     interpret: bool | None = None,
 ):
     """Flash-attention backward: returns (dq, dk, dv) for [B, H, L, d] inputs.
+
+    ``kv_scale_mode`` mirrors the forward: ``"token"`` scales ([B, H, Lk])
+    fold per-tile inside the kernel; ``"channel"`` scales ([B, H, d]) fold
+    into Q / dO before the kernel and un-fold on the outputs (dq·ks,
+    dk/ks, dv/vs — all exact per-d rescalings in fp32), so the kernel
+    bodies run completely scale-free ("free dequant", VERDICT r4 #1).
 
     Default: ONE race-free pass over the packed live-tile schedule — dK/dV
     accumulate per KV tile, dQ accumulates into a full-sequence VMEM scratch
@@ -1634,6 +1742,10 @@ def flash_attention_backward(
                          f"heads ({Hkv})")
     g = H // Hkv
     quantized = k_scale is not None
+    if kv_scale_mode not in ("token", "channel"):
+        raise ValueError(f"kv_scale_mode must be 'token' or 'channel', "
+                         f"got {kv_scale_mode!r}")
+    scaled = quantized and kv_scale_mode == "token"
     if kv_layout not in ("ld", "dl"):
         raise ValueError(f"kv_layout must be 'ld' or 'dl', got {kv_layout!r}")
     transposed_in = quantized and kv_layout == "dl"
@@ -1668,6 +1780,10 @@ def flash_attention_backward(
         q_offset = Lk - Lq
 
     ib = jnp.dtype(q.dtype).itemsize
+    if score_layout not in (None, "qw", "wq"):
+        # validate BEFORE the auto rule / selector consume it (ADVICE r4)
+        raise ValueError(f"score_layout must be None, 'qw' or 'wq', got "
+                         f"{score_layout!r}")
     if score_layout is None:
         # Measured auto rule (bench/exp_bw_residual wqx, 2026-08-20): the
         # transposed score space wins for unquantized bf16 (L=2048 bw
@@ -1711,15 +1827,37 @@ def flash_attention_backward(
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
 
+    if quantized and not scaled:
+        # Channel granularity: delta above already consumed the RAW dO/O;
+        # now fold K's [d] scale into Q (dequant-space scores) and V's
+        # into dO (dequant-space dp) — XLA elementwise, fused into the
+        # operand reshapes.  The kernels then run scale-free; the outputs
+        # un-fold below (dq·ks, dk/ks, dv/vs).
+        ksb = jnp.repeat(k_scale, g, axis=1) if g > 1 else k_scale
+        vsb = jnp.repeat(v_scale, g, axis=1) if g > 1 else v_scale
+        q = (q.astype(jnp.float32) * ksb[:, :, None, :]).astype(q.dtype)
+        do = (do.astype(jnp.float32) * vsb[:, :, None, :]).astype(do.dtype)
+
+        def _unfold_channel(dq, dk, dv):
+            # dq came out in code space (dS · codes): times K's scale.
+            # dk = dS^T · (q·ks) and dv = p^T · (do·vs): divide the folded
+            # scale back out (scales are never 0 by construction).
+            dq = (dq.astype(jnp.float32)
+                  * ksb[:, :, None, :]).astype(dq.dtype)
+            dk = (dk.astype(jnp.float32)
+                  / k_scale[:, :, None, :]).astype(dk.dtype)
+            dv = (dv.astype(jnp.float32)
+                  / v_scale[:, :, None, :]).astype(dv.dtype)
+            return dq, dk, dv
+    else:
+        _unfold_channel = None
+
     # Native GQA (see the forward): K/V reads fold onto the KV head; the
     # dK/dV OUTPUTS stay per-QUERY-head (each grid row accumulates its own
     # group member's contribution race-free) and are group-summed after.
     def kv_bh(bh):
         return (bh // H) * Hkv + (bh % H) // g
 
-    if score_layout not in (None, "qw", "wq"):
-        raise ValueError(f"score_layout must be None, 'qw' or 'wq', got "
-                         f"{score_layout!r}")
     # wq (transposed [w, bq] score space) applies to the fused form only
     score_wq = score_layout == "wq" and will_fuse
 
@@ -1742,13 +1880,17 @@ def flash_attention_backward(
             vdl = v.transpose(0, 1, 3, 2).reshape(B * Hkv, d, Lk)
         kf, vf = pad_to(kdl, 2, pLk), pad_to(vdl, 2, pLk)
         kv_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
-        # scales keep the [1, bk] ROW layout in both score layouts: a
-        # [bk, 1] column block pads to 128 lanes in VMEM (~0.5M/buffer at
-        # bk=1024 — what first OOM'd int8-wq); the wq kernel transposes
-        # the 4KB row in-kernel instead.
-        ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-        vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
-        scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        if scaled:
+            # scales keep the [1, bk] ROW layout in both score layouts: a
+            # [bk, 1] column block pads to 128 lanes in VMEM (~0.5M/buffer
+            # at bk=1024 — what first OOM'd int8-wq); the wq kernel
+            # transposes the 4KB row in-kernel instead.
+            ksf = pad_to(k_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+            vsf = pad_to(v_scale.reshape(B * Hkv, 1, Lk), 2, pLk, fill=1.0)
+            scale_index = lambda b, t, im, jm, *r: (kv_bh(b), 0, jm[t])
+        else:
+            ksf = vsf = None        # channel: scale-free kernels
+            scale_index = None
     else:
         kf = pad_to(k.reshape(B * Hkv, Lk, d), 1, pLk)
         vf = pad_to(v.reshape(B * Hkv, Lk, d), 1, pLk)
@@ -1807,7 +1949,7 @@ def flash_attention_backward(
             pl.BlockSpec(kv_blk, kv_index),
             pl.BlockSpec(kv_blk, kv_index),
         ]
-        if quantized:
+        if scaled:
             specs += [pl.BlockSpec((1, 1, bk), scale_index)] * 2
         if segmented:
             kseg_blk = (1, bk, 1) if wq else (1, 1, bk)
@@ -1826,7 +1968,7 @@ def flash_attention_backward(
 
     common_in_specs = _in_specs(group_q, block_k, wq=score_wq)
     common_operands = [qf, kf, vf]
-    if quantized:
+    if scaled:
         common_operands += [ksf, vsf]
     if segmented:
         common_operands += [qsegf, ksegf]
@@ -1838,7 +1980,7 @@ def flash_attention_backward(
             q_r, k_r, v_r = rest[:3]
             i = 3
             ks_r = vs_r = qs_r = ks2_r = None
-            if quantized:
+            if scaled:
                 ks_r, vs_r = rest[i:i + 2]
                 i += 2
             if segmented:
@@ -1864,9 +2006,9 @@ def flash_attention_backward(
             scale=scale, causal=causal, block_q=block_q, block_k=block_k,
             kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
             n_steps=len(gmap), n_heads=H, quantized=quantized,
-            dropout_rate=dropout_rate, window=window, segmented=segmented,
-            fast_exp=fast_exp, q_pack=q_pack, patterns=gpatterns,
-            score_wq=score_wq,
+            scaled=scaled, dropout_rate=dropout_rate, window=window,
+            segmented=segmented, fast_exp=fast_exp, q_pack=q_pack,
+            patterns=gpatterns, score_wq=score_wq,
         )
         dpad = round_up(d, 128)     # DMA lane alignment (see epilogue)
         dq_out_spec = (
@@ -1904,6 +2046,8 @@ def flash_attention_backward(
           jnp.asarray(gpat), seed_arr, *common_operands)
         dq = dq[:, :Lq, :d].reshape(B, H, Lq, d)
         dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
+        if _unfold_channel is not None:
+            dq, dk, dv = _unfold_channel(dq, dk, dv)
         return dq, dk, dv
 
     # dK/dV pass: packed KV-outer groups (the fused body with dQ disabled)
@@ -1919,8 +2063,8 @@ def flash_attention_backward(
         _bwd_dkv_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=bk_dkv,
         kv_len=Lk, padded_kv=padded_kv_dkv, q_offset=q_offset, d=d, aug=aug,
-        n_heads=H, quantized=quantized, dropout_rate=dropout_rate,
-        window=window,
+        n_heads=H, quantized=quantized, scaled=scaled,
+        dropout_rate=dropout_rate, window=window,
         segmented=segmented, fast_exp=fast_exp, q_pack=q_pack,
         patterns=gpatterns,
     )
@@ -1960,8 +2104,8 @@ def flash_attention_backward(
         _bwd_dq_kernel,
         scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         kv_len=Lk, padded_kv=padded_kv, q_offset=q_offset, d=d, aug=aug,
-        n_heads=H, quantized=quantized, dropout_rate=dropout_rate,
-        window=window,
+        n_heads=H, quantized=quantized, scaled=scaled,
+        dropout_rate=dropout_rate, window=window,
         segmented=segmented, fast_exp=fast_exp, widths=q_widths,
     )
     dq_spec = pltpu.PrefetchScalarGridSpec(
@@ -1990,4 +2134,6 @@ def flash_attention_backward(
 
     dq = dq[:, :Lq].reshape(B, H, Lq, d)
     dk, dv = (_group_sum(x[:, :Lk], B, Hkv, g, Lk, d) for x in (dk, dv))
+    if _unfold_channel is not None:
+        dq, dk, dv = _unfold_channel(dq, dk, dv)
     return dq, dk, dv

@@ -80,7 +80,8 @@ class DecoderConfig:
     # quantized per-(batch, head, position) and both the forward and the
     # backward recompute consume the codes; residual memory halves (bf16)
     # or quarters (fp32).  Requires the flash path (ops/attention.py).
-    kv_quant: Literal["none", "int8", "fp8"] = "none"
+    kv_quant: Literal["none", "int8", "fp8",
+                      "int8_channel", "fp8_channel"] = "none"
     use_fused_kernel: bool = False                # fused softmax + LN switch
     dtype: Any = jnp.float32
     # TPU-first extras
@@ -108,10 +109,11 @@ class DecoderConfig:
                 raise ValueError(
                     f"window must be >= 1 (got {self.window}); use "
                     f"window=None to disable sliding-window attention")
-        if self.kv_quant not in ("none", "int8", "fp8"):
+        if self.kv_quant not in ("none", "int8", "fp8",
+                                 "int8_channel", "fp8_channel"):
             raise ValueError(
-                f"kv_quant must be 'none', 'int8' or 'fp8', got "
-                f"{self.kv_quant!r}")
+                f"kv_quant must be 'none', 'int8', 'fp8', 'int8_channel' "
+                f"or 'fp8_channel', got {self.kv_quant!r}")
         if self.kv_quant != "none" and self.attention_kind in (
                 "fused", "naive"):
             raise ValueError(
@@ -177,12 +179,13 @@ class MultiHeadAttention(Module):
                 # the kernel form within quantization noise while keeping
                 # the naive path's small-L speed win (flash is 0.66x at
                 # reference scale, bench/sweep_auto.py).
-                from tpu_flash.ops.attention import _quantize_kv
+                from tpu_flash.ops.attention import (
+                    _quantize_kv, dequantize_kv)
 
                 def st(x):
                     codes, scales = _quantize_kv(x, c.kv_quant)
-                    dq = (codes.astype(jnp.float32)
-                          * scales[..., None]).astype(x.dtype)
+                    dq = dequantize_kv(codes, scales,
+                                       c.kv_quant).astype(x.dtype)
                     return x + jax.lax.stop_gradient(dq - x)
 
                 k, v = st(k), st(v)
