@@ -63,6 +63,10 @@ def run_trace(engine_factory, trace, vocab, mode, n_many, rng):
     ]
     budgets = {i: ex["budget"] for i, ex in enumerate(trace)}
     token_times = {i: [] for i in budgets}
+    # per-phase wall times (VERDICT r4 #7): the burst-ITL tail is the gap
+    # between two emissions of one request — attribute it to admissions
+    # (prefill work, chunked or not) vs decode steps directly
+    phase_times = {"admit": [], "step": []}
 
     orig_emit = engine._host_emit
 
@@ -84,7 +88,9 @@ def run_trace(engine_factory, trace, vocab, mode, n_many, rng):
         if not engine.has_work():
             time.sleep(max(0.0, pending[i][0] - (time.monotonic() - t0)))
             continue
+        ta = time.monotonic()
         engine.admit()
+        phase_times["admit"].append(time.monotonic() - ta)
         # enforce each request's own output budget: the remaining budget is
         # authoritative from host bookkeeping (engine budgets come from the
         # global sampling.max_new_tokens)
@@ -93,17 +99,19 @@ def run_trace(engine_factory, trace, vocab, mode, n_many, rng):
             if uid is not None:
                 engine.slot_budget[slot] = (
                     budgets[uid] - len(engine.slot_tokens[slot]))
+        ts = time.monotonic()
         if mode == "many":
             engine.step_many(n_many)
         elif mode == "spec":
             engine.step_speculative()
         else:
             engine.step()
+        phase_times["step"].append(time.monotonic() - ts)
     makespan = time.monotonic() - t0
-    return token_times, makespan
+    return token_times, makespan, phase_times
 
 
-def summarize(token_times, makespan, trace):
+def summarize(token_times, makespan, trace, phase_times=None):
     total = sum(len(v) for v in token_times.values())
     gaps, means = [], []
     for uid, times in token_times.items():
@@ -118,7 +126,7 @@ def summarize(token_times, makespan, trace):
     # time-to-first-token relative to arrival
     ttft = [times[0] - trace[uid]["arrival"]
             for uid, times in token_times.items() if times]
-    return {
+    out = {
         "tokens": int(total),
         "makespan_s": round(makespan, 2),
         "tokens_per_sec": round(total / makespan, 1),
@@ -128,6 +136,18 @@ def summarize(token_times, makespan, trace):
         "ttft_p50_s": round(float(np.percentile(ttft, 50)), 2),
         "ttft_p99_s": round(float(np.percentile(ttft, 99)), 2),
     }
+    if phase_times:
+        # the attribution fields: a burst-ITL p99 that matches
+        # admit_max_ms (+ one step) is admission-induced; one matching
+        # step_p99_ms is scan-induced
+        for name, ts in phase_times.items():
+            if not ts:
+                continue
+            a = np.asarray(ts) * 1e3
+            out[f"{name}_p50_ms"] = round(float(np.percentile(a, 50)), 1)
+            out[f"{name}_p99_ms"] = round(float(np.percentile(a, 99)), 1)
+            out[f"{name}_max_ms"] = round(float(a.max()), 1)
+    return out
 
 
 def main():
@@ -192,10 +212,12 @@ def main():
         (f"step_many({args.n_many})+chunked-prefill", factory(256), "many"),
         ("speculative(draft-2L,n=4)", factory(spec=True), "spec"),
     ]:
-        tt, makespan = run_trace(fac, trace, cfg.n_vocab, mode,
-                                 args.n_many, np.random.default_rng(1))
+        tt, makespan, phases = run_trace(fac, trace, cfg.n_vocab, mode,
+                                         args.n_many,
+                                         np.random.default_rng(1))
         print(json.dumps({"mode": label,
-                          **summarize(tt, makespan, trace)}))
+                          **summarize(tt, makespan, trace, phases)}),
+              flush=True)
 
 
 if __name__ == "__main__":

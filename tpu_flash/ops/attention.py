@@ -34,21 +34,55 @@ from tpu_flash.ops import reference as ref
 from tpu_flash.ops.registry import resolve_impl
 
 
+def _kv_quant_parts(mode: str) -> tuple[str, str]:
+    """Split a kv_quant mode string into (base, granularity):
+    "int8" -> ("int8", "token"); "int8_channel" -> ("int8", "channel")."""
+    base, _, gran = mode.partition("_")
+    return base, (gran or "token")
+
+
 def _quantize_kv(x, mode="int8"):
-    """Per-(batch, head, position) symmetric quantization over head_dim
-    (the same schemes as the inference KV-cache, inference/kv_cache.py):
-    int8 [-127, 127] or float8_e4m3 (max normal 448)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)
-    if mode == "int8":
+    """Symmetric KV quantization at two granularities (kernel lineage:
+    the never-implemented LightSeq i8 declarations,
+    /root/reference/src/includes/kernels.h:29-47):
+
+      * token ("int8"/"fp8"): one scale per (batch, head, position), amax
+        over head_dim — scales [B, H, L].  Tightest error; the scales fold
+        per-tile inside the kernel.
+      * channel ("int8_channel"/"fp8_channel"): one scale per (batch,
+        head, d-channel), amax over the SEQUENCE — scales [B, H, d].  The
+        scales fold into Q / the output outside the kernel ("free
+        dequant", VERDICT r4 #1); error depends on per-channel dynamic
+        range across positions (K caches are channel-outlier-dominated,
+        so channel-K quant is the KIVI-style regime).
+
+    int8 codes are [-127, 127]; fp8 is float8_e4m3 (max normal 448)."""
+    base, gran = _kv_quant_parts(mode)
+    axis = -2 if gran == "channel" else -1
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis)
+    div = (lambda s: s[..., None, :]) if gran == "channel" \
+        else (lambda s: s[..., None])
+    if base == "int8":
         scales = jnp.where(amax == 0.0, 1.0, amax / 127.0)
         codes = jnp.clip(
-            jnp.round(x.astype(jnp.float32) / scales[..., None]), -127, 127
+            jnp.round(x.astype(jnp.float32) / div(scales)), -127, 127
         ).astype(jnp.int8)
     else:  # fp8
         scales = jnp.where(amax == 0.0, 1.0, amax / 448.0)
-        codes = (x.astype(jnp.float32) / scales[..., None]).astype(
+        codes = (x.astype(jnp.float32) / div(scales)).astype(
             jnp.float8_e4m3fn)
     return codes, scales.astype(jnp.float32)
+
+
+def dequantize_kv(codes, scales, mode="int8"):
+    """Inverse of :func:`_quantize_kv` (fp32): the straight-through dense
+    path and the test oracles share this exact dequant."""
+    from tpu_flash.kernels.common import cast_codes
+
+    _, gran = _kv_quant_parts(mode)
+    f = cast_codes(codes, jnp.float32)
+    return f * (scales[..., None, :] if gran == "channel"
+                else scales[..., None])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
@@ -69,13 +103,17 @@ def _flash_attention_quantkv_fwd(q, k, v, seed, seg, causal, dropout_rate,
     or quartering (fp32) the attention residual memory for long-context
     training.  Codes are transposed to the kernel's d-major layout ONCE
     here and reused by the backward.  Gradients for k/v are
-    straight-through (w.r.t. the dequantized values)."""
+    straight-through (w.r.t. the dequantized values).  Channel-granularity
+    modes ("int8_channel"/"fp8_channel") run the scale-free kernel form:
+    the entries fold/un-fold the [B, H, d] scales outside the kernel."""
+    gran = _kv_quant_parts(mode)[1]
     kc, ks = _quantize_kv(k, mode)
     vc, vs = _quantize_kv(v, mode)
     kc, vc = kc.transpose(0, 1, 3, 2), vc.transpose(0, 1, 3, 2)
     out, lse, _ = flash_attention_forward(
         q, kc, vc, ks, vs, causal=causal, dropout_rate=dropout_rate,
-        dropout_seed=seed, window=window, segment_ids=seg, kv_layout="dl")
+        dropout_seed=seed, window=window, segment_ids=seg, kv_layout="dl",
+        kv_scale_mode=gran)
     return out, (q, kc, ks, vc, vs, out, lse, seed, seg)
 
 
@@ -84,7 +122,8 @@ def _flash_attention_quantkv_bwd(causal, dropout_rate, mode, window, res, do):
     dq, dk, dv = flash_attention_backward(
         q, kc, vc, out, lse, do, None, ks, vs, causal=causal,
         dropout_rate=dropout_rate, dropout_seed=seed, window=window,
-        segment_ids=seg, kv_layout="dl")
+        segment_ids=seg, kv_layout="dl",
+        kv_scale_mode=_kv_quant_parts(mode)[1])
     return dq, dk, dv, _seed_cotangent(seed), _seg_cotangent(seg)
 
 
@@ -279,9 +318,10 @@ def flash_attention(
 
     ctx = current_context()
     if kv_quant != "none":
-        if kv_quant not in ("int8", "fp8"):
-            raise ValueError(f"kv_quant must be 'none', 'int8' or 'fp8', "
-                             f"got {kv_quant!r}")
+        if kv_quant not in ("int8", "fp8", "int8_channel", "fp8_channel"):
+            raise ValueError(
+                f"kv_quant must be 'none', 'int8', 'fp8', 'int8_channel' "
+                f"or 'fp8_channel', got {kv_quant!r}")
         if impl != "pallas":
             raise ValueError("kv_quant requires the pallas impl")
         if ctx is not None:
