@@ -317,7 +317,7 @@ def test_channel_kv_attention_fwd_bwd(rng, mode):
 
 
 @pytest.mark.parametrize("variant", ["dropout", "gqa", "bf16", "window",
-                                     "wq", "twopass"])
+                                     "wq", "twopass", "segments"])
 def test_channel_kv_variants(rng, variant, monkeypatch):
     """The channel-scale form through every backward path: fused qw
     (default), explicit wq score space, the two-pass fallback, dropout's
@@ -339,6 +339,11 @@ def test_channel_kv_variants(rng, variant, monkeypatch):
     drop = 0.25 if variant == "dropout" else 0.0
     window = 96 if variant == "window" else None
     score_layout = "wq" if variant == "wq" else None
+    seg = None
+    if variant == "segments":
+        # two packed sequences per row (the --pack training form)
+        seg = jnp.asarray(
+            np.repeat([[0, 1]], B, 0).repeat(L // 2, 1), jnp.int32)
 
     kc, ks = _quantize_kv(k, "int8_channel")
     vc, vs = _quantize_kv(v, "int8_channel")
@@ -346,7 +351,8 @@ def test_channel_kv_variants(rng, variant, monkeypatch):
     v_dq = dequantize_kv(vc, vs, "int8_channel").astype(dtype)
     kcT, vcT = kc.transpose(0, 1, 3, 2), vc.transpose(0, 1, 3, 2)
 
-    kw = dict(causal=True, dropout_rate=drop, dropout_seed=7, window=window)
+    kw = dict(causal=True, dropout_rate=drop, dropout_seed=7, window=window,
+              segment_ids=seg)
     out_q, lse_q, _ = fa.flash_attention_forward(
         q, kcT, vcT, ks, vs, kv_layout="dl", kv_scale_mode="channel", **kw)
     out_r, lse_r, _ = fa.flash_attention_forward(q, k_dq, v_dq, **kw)

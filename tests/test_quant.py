@@ -254,7 +254,8 @@ def test_fast_exp_rejected_for_fp32():
                                  fast_exp=True)
 
 
-@pytest.mark.parametrize("mode", ["int8", "fp8"])
+@pytest.mark.parametrize("mode", ["int8", "fp8", "int8_channel",
+                                  "fp8_channel"])
 def test_kv_quant_auto_below_crossover_matches_kernel(mode):
     """attention_kind="auto" with kv_quant at L below the flash crossover
     takes the dense XLA path on straight-through dequantized K/V — the
