@@ -123,7 +123,7 @@ def main():
                "tok_per_s": round(n_tok / makespan, 1)}
         st = engine._spec_stats
         if st["rounds"]:
-            row["acceptance"] = round(st["emitted"]
+            row["acceptance"] = round(st["accepted"]
                                       / max(st["proposed"], 1), 3)
             row["emitted_per_round"] = round(st["emitted"] / st["rounds"],
                                              2)

@@ -227,7 +227,24 @@ def test_engine_speculative_acceptance_guard():
     assert 0.0 <= d["acceptance"] <= 1.0
     st = spec._spec_stats
     assert st["spec_timed"] >= 2 and st["plain_timed"] >= 2
-    assert st["proposed"] >= st["emitted"] - st["rounds"]  # +1 bonus/round
+    assert 0 <= st["accepted"] <= st["proposed"]
+
+    # self-draft control: every proposal accepted -> acceptance == 1.0
+    selfd = DecodeEngine(model, params, n_slots=2, max_len=64,
+                         sampling=samp, draft_model=model,
+                         draft_params=params, n_draft=3)
+    for uid, p in prompts.items():
+        selfd.submit(Request(uid, p))
+    got3 = {c.uid: (c.tokens, c.finished_reason)
+            for c in selfd.run_speculative(probe_rounds=None)}
+    assert got3 == ref
+    st3 = selfd._spec_stats
+    # self-draft acceptance is near-perfect (eos/budget retirement clamps
+    # the tail of some rounds) and far above the mismatched draft's
+    self_acc = st3["accepted"] / st3["proposed"]
+    rand_acc = st["accepted"] / max(st["proposed"], 1)
+    assert self_acc >= 0.6, st3
+    assert self_acc > rand_acc, (self_acc, rand_acc)
 
     # guard disabled: pure speculative, still identical output
     spec2 = DecodeEngine(model, params, n_slots=2, max_len=64,

@@ -142,7 +142,7 @@ class DecodeEngine:
         # acceptance-aware guard bookkeeping (run_speculative probation,
         # VERDICT r4 #4): wall-timed samples of both modes, compile calls
         # excluded, plus raw acceptance counters for observability.
-        self._spec_stats = dict(rounds=0, proposed=0, emitted=0,
+        self._spec_stats = dict(rounds=0, proposed=0, emitted=0, accepted=0,
                                 spec_timed=0, spec_s=0.0, spec_tok=0,
                                 plain_timed=0, plain_s=0.0, plain_tok=0)
         self._spec_compiled: set[int] = set()   # W values already compiled
@@ -543,6 +543,9 @@ class DecodeEngine:
         st["rounds"] += 1
         st["proposed"] += W * n_active
         st["emitted"] += n_emitted
+        # each active slot emits (accepted + 1 corrected): the honest
+        # acceptance fraction excludes the per-round bonus token
+        st["accepted"] += n_emitted - n_active
         if W in self._spec_compiled:
             st["spec_timed"] += 1
             st["spec_s"] += dt
@@ -595,7 +598,7 @@ class DecodeEngine:
                         mode=("speculative" if spec_tps >= plain_tps
                               else "plain"),
                         spec_tps=spec_tps, plain_tps=plain_tps,
-                        acceptance=st["emitted"] / max(st["proposed"], 1))
+                        acceptance=st["accepted"] / max(st["proposed"], 1))
                 else:
                     # probation: alternate timed samples of each mode
                     if st["spec_timed"] <= st["plain_timed"]:
