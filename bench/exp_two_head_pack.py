@@ -38,11 +38,21 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_flash.kernels.flash_attention import _dot
 from tpu_flash.utils.timing import benchmark
 
-GRID = 32
+# Grid steps per pallas call: sized so one CALL takes several ms — the
+# first chip run used GRID=32 (~30-100 us/call), inside the tunnel's
+# +-5-10 ms per-call noise, and the marginal differencing collapsed to
+# the 1e-9 clamp for over half the cases (runs/r5_chiplogs/
+# exp_pack_bf16.log: 0.000 ms / "8589934 TF/s", pv_bd "224 TF/s" vs the
+# 88 TF/s calibrated ceiling).  At bf16 production tiles one step-pair
+# is ~268 MFLOP (~3.4 us at ceiling) -> 1024 steps ~ 3.5 ms/call; fp32
+# tiles are ~33.5 MFLOP/step at ~5-15 TF/s -> 2048 steps ~ 5-14 ms.
+GRID_BF16 = 1024
+GRID_FP32 = 2048
 
 
 def run_case(name, a_shapes, b_shapes, dims, n_dots, useful_flops, dtype,
              out_shape):
+    GRID = GRID_FP32 if dtype == jnp.float32 else GRID_BF16
     """Times a kernel issuing ``n_dots`` dots per grid step with the given
     operand shapes (lists when the case uses two separate dots)."""
     rng = np.random.default_rng(0)
