@@ -1475,6 +1475,19 @@ def select_bwd_fused_config(Lq, Lk, d, *, block_q, block_k, causal,
     """Joint (block_q, q_pack, block_k) choice for the fused single-pass
     backward.
 
+    Head-dim geometry rule (r5): d=64 dots stay PER-HEAD — stacking two
+    heads block-diagonally into one K=128 contraction was measured
+    (bench/exp_two_head_pack, fixed-GRID rerun 2026-08-21): the bf16
+    score dot gains +7.7% row-stacked (94.8 -> 102.1 TF/s useful) but
+    the PV dot LOSES 4% (95.9 -> 92.1) and the axis-0 accumulation dot
+    is flat (87.3 -> 86.2), so a packed schedule nets ~+1.5% at best for
+    doubled VMEM live state; in fp32 every packed form loses outright
+    (16.6 -> 15.6 TF/s qk).  fp32 d=64's absolute rate is the
+    Precision.HIGHEST multi-pass cost, not MXU fill: per-dot fp32 rates
+    are 15-18 TF/s for ALL geometries and the production fp32 backward
+    runs at 1.012x its executed-dot floor at L=1024
+    (bench/exp_fp32_floor).
+
     The fused kernel's scoped-VMEM footprint grows with the KV tile
     (score-chain temps, dk/dv accumulators), the sequence (full-sequence
     dq scratch + buffered dq output) AND the Q-pack width (group-sized
